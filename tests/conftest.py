@@ -2,18 +2,28 @@
 
 Multi-chip TPU hardware is not available in CI; sharding correctness is
 validated on virtual CPU devices (the driver separately dry-run-compiles the
-multi-chip path via __graft_entry__.dryrun_multichip).  Must run before jax
-is imported anywhere.
+multi-chip path via __graft_entry__.dryrun_multichip).
+
+In the axon TPU environment a sitecustomize hook registers the TPU PJRT
+plugin at interpreter start and pins the default platform (overriding the
+JAX_PLATFORMS environment variable), and its tunnel supports only one client
+at a time — a test suite must not grab it.  ``jax.config.update`` after
+import but before first backend use reliably forces the CPU backend.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA flags must be in the environment before the CPU client is created.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
