@@ -1,0 +1,207 @@
+"""In-memory public API — raw and framed formats.
+
+Surface parity with the reference's L3 layer (/root/reference/snappy.nim):
+
+=====================  =========================================	==========
+reference (Nim)        here                                     	returns
+=====================  =========================================	==========
+``encode``             ``encode(data)``                         	bytes (raises InputTooLarge)
+``compress``           ``compress_into(data, out)``             	Result[int]
+``decode``             ``decode(data, max_size)``               	bytes (empty on failure)
+``uncompress``         ``uncompress_into(data, out)``           	Result[int]
+``encodeFramed``       ``encode_framed(data)``                  	bytes
+``compressFramed``     ``compress_framed_into(data, out)``      	Result[int]
+``decodeFramed``       ``decode_framed(data, max_size, ...)``   	bytes (empty on failure)
+``uncompressFramed``   ``uncompress_framed_into(data, out, ...)``	Result[(read, written)] — resumable
+=====================  =========================================	==========
+
+Error-model parity: the ``*_into`` functions are exception-free and return
+``Result`` values with the reference's typed enums (codec.nim:56-64); the
+bytes-returning conveniences mirror the reference's seq-returning functions,
+which yield an empty result on any failure (snappy.nim:112-128, 269-290).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+from . import engine
+from .formats import constants as C
+from .formats import framing
+from .formats.errors import (
+    CodecError,
+    Err,
+    FrameError,
+    Ok,
+    Result,
+    raise_input_too_large,
+)
+
+_FRAME_REASONS = {
+    "invalid": FrameError.invalid_input,
+    "crc": FrameError.crc_mismatch,
+    "unknown_chunk": FrameError.unknown_chunk,
+    "too_large": FrameError.invalid_input,
+}
+
+
+# ---------------------------------------------------------------------------
+# Raw format
+# ---------------------------------------------------------------------------
+
+
+def encode(data: bytes) -> bytes:
+    """Compress ``data`` to the raw snappy format (snappy.nim:66-82).
+
+    Raises :class:`InputTooLarge` for inputs over 2^32-1 bytes.
+    """
+    out = engine.raw_compress(bytes(data))
+    if out is None:
+        raise_input_too_large()
+    return out
+
+
+def compress_into(data: bytes, out: bytearray) -> Result[int]:
+    """Compress into a caller buffer; returns the written length or
+    ``buffer_too_small``/``invalid_input`` (snappy.nim:27-64)."""
+    if len(data) > C.MAX_UNCOMPRESSED_LEN:
+        return Err(CodecError.invalid_input)
+    if len(out) < C.max_compressed_len(len(data)):
+        return Err(CodecError.buffer_too_small)
+    enc = engine.raw_compress(bytes(data))
+    if enc is None:
+        return Err(CodecError.invalid_input)
+    out[: len(enc)] = enc
+    return Ok(len(enc))
+
+
+def decode(data: bytes, max_size: int = C.MAX_UNCOMPRESSED_LEN) -> bytes:
+    """Decompress a raw snappy stream; returns ``b""`` on any failure,
+    including outputs larger than ``max_size`` — the guard for untrusted
+    input (snappy.nim:112-128)."""
+    out, _reason = engine.raw_uncompress(bytes(data), max_size)
+    return out if out is not None else b""
+
+
+def uncompress_into(data: bytes, out: Union[bytearray, memoryview]) -> Result[int]:
+    """Decompress into a caller buffer; written length or typed error
+    (snappy.nim:84-110).  The declared length must fit ``out`` exactly like
+    the reference: too-small buffers yield ``buffer_too_small``."""
+    declared = framing.uncompressed_len(bytes(data[:16]))
+    if declared is None or declared > C.MAX_UNCOMPRESSED_LEN:
+        return Err(CodecError.invalid_input)
+    if declared > len(out):
+        return Err(CodecError.buffer_too_small)
+    payload, reason = engine.raw_uncompress(bytes(data), C.MAX_UNCOMPRESSED_LEN)
+    if payload is None:
+        return Err(CodecError.invalid_input)
+    out[: len(payload)] = payload
+    return Ok(len(payload))
+
+
+def uncompressed_len(data: bytes):
+    """Declared output size of a raw stream (codec.nim:129-138)."""
+    return framing.uncompressed_len(data)
+
+
+# ---------------------------------------------------------------------------
+# Framed format
+# ---------------------------------------------------------------------------
+
+
+def encode_framed(data: bytes) -> bytes:
+    """Compress to the framed format with per-chunk masked CRC32C
+    (snappy.nim:157-167)."""
+    out = engine.framed_compress(bytes(data))
+    assert out is not None
+    return out
+
+
+def compress_framed_into(data: bytes, out: bytearray) -> Result[int]:
+    """Framed compress into a caller buffer (snappy.nim:130-155)."""
+    if len(out) < C.max_compressed_len_framed(len(data)):
+        return Err(FrameError.buffer_too_small)
+    enc = engine.framed_compress(bytes(data))
+    if enc is None:
+        return Err(FrameError.invalid_input)
+    out[: len(enc)] = enc
+    return Ok(len(enc))
+
+
+def decode_framed(
+    data: bytes,
+    max_size: int = C.MAX_UNCOMPRESSED_LEN,
+    check_integrity: bool = True,
+) -> bytes:
+    """Decompress a framed stream; ``b""`` on any failure
+    (snappy.nim:269-290)."""
+    out, _reason = engine.framed_uncompress(
+        bytes(data), max_size, check_integrity
+    )
+    return out if out is not None else b""
+
+
+def uncompress_framed_into(
+    data: bytes,
+    out: Union[bytearray, memoryview],
+    check_header: bool = True,
+    check_integrity: bool = True,
+) -> Result[Tuple[int, int]]:
+    """Resumable framed decompression (snappy.nim:169-267).
+
+    Decodes chunks into ``out`` until the input is exhausted or the next
+    chunk would not fit, then returns ``Ok((read, written))``:
+
+    * ``read``  — input offset of the first unprocessed chunk header;
+    * ``written`` — bytes written into ``out``.
+
+    When ``read < len(data)`` the output filled up: the caller re-invokes
+    with ``data[read:]``, a fresh buffer, and ``check_header=False``
+    (protocol parity incl. the re-entry flag; exercised by the reference at
+    test_framed.nim:38-59).  ``check_integrity=False`` skips CRC verification
+    (snappy.nim:171).
+    """
+    data = bytes(data)
+    read = 0
+    if check_header:
+        if len(data) < len(C.FRAMING_HEADER) or not framing.is_snappy_framed_stream(
+            data
+        ):
+            return Err(FrameError.invalid_input)
+        read = len(C.FRAMING_HEADER)
+
+    chunks = framing.scan_frames(data, read)
+    if chunks is None:
+        return Err(_FRAME_REASONS[engine._scan_failure_reason(data, read)])
+
+    # Greedy prefix of chunks that fits the output budget.
+    budget = len(out)
+    taken = []
+    written_plan = 0
+    for ch in chunks:
+        if ch.uncompressed_len > budget - written_plan:
+            break
+        taken.append(ch)
+        written_plan += ch.uncompressed_len
+        read = ch.header_pos + 4 + ch.data_len
+
+    if taken:
+        outs, reason = engine.framed_uncompress_chunks(data, taken, check_integrity)
+        if outs is None:
+            return Err(_FRAME_REASONS[reason])
+        blob = b"".join(outs)
+        out[: len(blob)] = blob
+        written = len(blob)
+    else:
+        written = 0
+    return Ok((read, written))
+
+
+def uncompressed_len_framed(data: bytes):
+    """Total decoded size of a framed stream, or None when malformed
+    (codec.nim:178-214)."""
+    return framing.uncompressed_len_framed(data)
+
+
+def is_framed_stream(data: bytes) -> bool:
+    return framing.is_snappy_framed_stream(data)

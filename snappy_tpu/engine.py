@@ -1,0 +1,323 @@
+"""Host <-> device orchestration: batching, shape bucketing, assembly.
+
+The reference's L3 layer does buffer management and block/frame assembly
+around the scalar kernels (/root/reference/snappy.nim:27-290).  Here the
+same role means: pad variable-length payloads into static jit shapes
+(bucketed to powers of two to bound recompiles), batch independent 64 KiB
+blocks/frames into one device call, and assemble ragged outputs on the host.
+
+All functions take/return numpy; nothing here raises on malformed input —
+callers get (value, ok) style results, converted by the API layer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .formats import constants as C
+from .formats import framing, varint
+from .ops import crc32c_jax, decode_jax, encode_jax
+
+_BLOCK = C.MAX_BLOCK_LEN  # 65536
+# Per-block compressed budget: worst case max_compressed_len(65536)=76490,
+# rounded to a multiple of 128.
+_MAX_COMP_BLOCK = -(-C.max_compressed_len(_BLOCK) // 128) * 128
+
+
+def _bucket(n: int, lo: int = 4096) -> int:
+    """Next power of two >= max(n, lo) — bounds distinct compile shapes."""
+    n = max(n, lo)
+    return 1 << (n - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Jitted pipelines (uint8 in/out at the device boundary)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _encode_blocks_u8(blocks_u8, blens, max_comp: int):
+    return encode_jax.encode_blocks(blocks_u8.astype(jnp.int32), blens, max_comp)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _decode_raw_u8(comp_u8, comp_len, out_len, u_pad: int):
+    return decode_jax.decode_raw(comp_u8.astype(jnp.int32), comp_len, out_len, u_pad)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _decode_chunks_u8(comp_u8, comp_lens, out_lens, u_pad: int):
+    """Decode framed chunks and compute masked CRC32C of the outputs on-chip."""
+    out, ok, written = decode_jax.decode_chunks(
+        comp_u8.astype(jnp.int32), comp_lens, out_lens, u_pad
+    )
+    crcs = crc32c_jax.masked_crc32c_chunks(out.astype(jnp.int32), out_lens, u_pad)
+    return out, ok, written, crcs
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _encode_frames_u8(frames_u8, flens, max_comp: int):
+    """Framed-pipeline device step: per-frame masked CRC32C of the payload
+    plus an attempted block compression (encoder.nim:385-426)."""
+    frames_i32 = frames_u8.astype(jnp.int32)
+    crcs = crc32c_jax.masked_crc32c_chunks(frames_i32, flens, frames_u8.shape[1])
+    enc, totals = encode_jax.encode_blocks(frames_i32, flens, max_comp)
+    return crcs, enc, totals
+
+
+# ---------------------------------------------------------------------------
+# Raw format
+# ---------------------------------------------------------------------------
+
+
+def _split_blocks(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    n = len(data)
+    nb = max(1, -(-n // _BLOCK))
+    blocks = np.zeros((nb, _BLOCK), dtype=np.uint8)
+    blens = np.zeros((nb,), dtype=np.int32)
+    for k in range(nb):
+        chunk = data[k * _BLOCK : (k + 1) * _BLOCK]
+        blocks[k, : len(chunk)] = chunk
+        blens[k] = len(chunk)
+    return blocks, blens
+
+
+def raw_compress(data: bytes) -> Optional[bytes]:
+    """Raw-format compress: varint header + concatenated block tag streams
+    (contract parity: snappy.nim:27-64)."""
+    n = len(data)
+    if n > C.MAX_UNCOMPRESSED_LEN:
+        return None
+    header = varint.encode_uint32(n)
+    if n == 0:
+        return header  # empty input encodes to exactly [0x00]
+    arr = np.frombuffer(data, dtype=np.uint8)
+    blocks, blens = _split_blocks(arr)
+    nb = blocks.shape[0]
+    nb_pad = _bucket(nb, lo=1)
+    if nb_pad != nb:
+        blocks = np.vstack([blocks, np.zeros((nb_pad - nb, _BLOCK), np.uint8)])
+        blens = np.concatenate([blens, np.zeros((nb_pad - nb,), np.int32)])
+    out, totals = _encode_blocks_u8(
+        jnp.asarray(blocks), jnp.asarray(blens), _MAX_COMP_BLOCK
+    )
+    out = np.asarray(out)
+    totals = np.asarray(totals)
+    parts = [header]
+    for k in range(nb):
+        parts.append(out[k, : totals[k]].tobytes())
+    return b"".join(parts)
+
+
+def raw_uncompress(
+    data: bytes, max_size: int = C.MAX_UNCOMPRESSED_LEN
+) -> Tuple[Optional[bytes], str]:
+    """Raw-format uncompress.  Returns (payload, "ok") or (None, reason);
+    reason in {"invalid", "too_large"} (parity: snappy.nim:84-128)."""
+    declared, read = varint.decode_uint64(data)
+    if declared is None or declared > C.MAX_UNCOMPRESSED_LEN:
+        return None, "invalid"
+    if declared > max_size:
+        return None, "too_large"
+    body = np.frombuffer(data, dtype=np.uint8)[read:]
+    if declared == 0:
+        return (b"", "ok") if len(body) == 0 else (None, "invalid")
+    if len(body) == 0:
+        return None, "invalid"
+    c_pad = _bucket(len(body))
+    comp = np.zeros((c_pad,), dtype=np.uint8)
+    comp[: len(body)] = body
+    u_pad = _bucket(int(declared))
+    out, ok, _written = _decode_raw_u8(
+        jnp.asarray(comp),
+        jnp.int32(len(body)),
+        jnp.int32(declared),
+        u_pad,
+    )
+    if not bool(ok):
+        return None, "invalid"
+    return np.asarray(out)[: int(declared)].tobytes(), "ok"
+
+
+# ---------------------------------------------------------------------------
+# Framed format
+# ---------------------------------------------------------------------------
+
+
+def framed_compress(data: bytes, with_header: bool = True) -> Optional[bytes]:
+    """Framed-format compress (contract parity: snappy.nim:130-155 and
+    encoder.nim:385-426): per-64 KiB frame, masked CRC + compressed payload
+    if it saves >= 1/8 of the frame, else the verbatim payload."""
+    n = len(data)
+    parts: List[bytes] = [C.FRAMING_HEADER] if with_header else []
+    if n == 0:
+        return b"".join(parts)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    frames, flens = _split_blocks(arr)
+    nf = frames.shape[0]
+    nf_pad = _bucket(nf, lo=1)
+    if nf_pad != nf:
+        frames = np.vstack([frames, np.zeros((nf_pad - nf, _BLOCK), np.uint8)])
+        flens = np.concatenate([flens, np.zeros((nf_pad - nf,), np.int32)])
+    crcs, enc, totals = _encode_frames_u8(
+        jnp.asarray(frames), jnp.asarray(flens), _MAX_COMP_BLOCK
+    )
+    crcs = np.asarray(crcs)
+    enc = np.asarray(enc)
+    totals = np.asarray(totals)
+    for k in range(nf):
+        flen = int(flens[k])
+        crc_bytes = int(crcs[k]).to_bytes(4, "little")
+        blob = varint.encode_uint32(flen) + enc[k, : totals[k]].tobytes()
+        # Keep the compressed form only if it saves >= 1/8 of the frame and
+        # the frame was big enough to try (encoder.nim:401-426).
+        if flen >= C.MIN_NON_LITERAL_BLOCK_SIZE and len(blob) <= flen - flen // 8:
+            parts.append(
+                framing.encode_frame_header(C.CHUNK_COMPRESSED, 4 + len(blob))
+            )
+            parts.append(crc_bytes)
+            parts.append(blob)
+        else:
+            parts.append(
+                framing.encode_frame_header(C.CHUNK_UNCOMPRESSED, 4 + flen)
+            )
+            parts.append(crc_bytes)
+            parts.append(arr[k * _BLOCK : k * _BLOCK + flen].tobytes())
+    return b"".join(parts)
+
+
+class FramedError(Exception):
+    """Internal marker carrying a FrameError reason string."""
+
+    def __init__(self, reason: str):
+        super().__init__(reason)
+        self.reason = reason
+
+
+def framed_uncompress_chunks(
+    data: bytes,
+    chunks: List[framing.ChunkInfo],
+    check_integrity: bool = True,
+) -> Tuple[Optional[List[bytes]], str]:
+    """Decode a list of scanned chunks; returns (payload_per_chunk, "ok")
+    or (None, reason) with reason in {"invalid", "crc", "unknown_chunk"}.
+
+    Compressed chunks are batched and decoded on-device (with on-chip CRC of
+    the decoded output); uncompressed chunks are validated with the native
+    host CRC.  Semantics parity: snappy.nim:199-265.
+    """
+    from .ops import crc32c_native
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    outputs: List[Optional[bytes]] = [None] * len(chunks)
+
+    comp_jobs = []  # (chunk_index, payload_slice, declared, stored_crc)
+    for ci, ch in enumerate(chunks):
+        if ch.id == C.CHUNK_COMPRESSED:
+            if ch.data_len < 4:
+                return None, "invalid"
+            stored = int.from_bytes(
+                data[ch.data_pos : ch.data_pos + 4], "little"
+            )
+            payload = arr[ch.data_pos + 4 : ch.data_pos + ch.data_len]
+            declared, read = varint.decode_uint64(payload)
+            if declared is None or declared > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
+                return None, "invalid"
+            comp_jobs.append((ci, payload[read:], int(declared), stored))
+        elif ch.id == C.CHUNK_UNCOMPRESSED:
+            if ch.data_len < 4:
+                return None, "invalid"
+            stored = int.from_bytes(
+                data[ch.data_pos : ch.data_pos + 4], "little"
+            )
+            payload = data[ch.data_pos + 4 : ch.data_pos + ch.data_len]
+            if len(payload) > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
+                return None, "invalid"
+            if check_integrity and crc32c_native.masked_crc32c(payload) != stored:
+                return None, "crc"
+            outputs[ci] = payload
+        elif ch.id == C.CHUNK_STREAM_HEADER:
+            outputs[ci] = b""
+        elif ch.id < C.CHUNK_RESERVED_SKIPPABLE_LO:
+            return None, "unknown_chunk"
+        else:
+            outputs[ci] = b""  # reserved skippable: ignore payload
+
+    if comp_jobs:
+        max_body = max(len(j[1]) for j in comp_jobs)
+        c_pad = _bucket(max_body, lo=1024)
+        n = len(comp_jobs)
+        n_pad = _bucket(n, lo=1)
+        comp = np.zeros((n_pad, c_pad), dtype=np.uint8)
+        comp_lens = np.zeros((n_pad,), dtype=np.int32)
+        out_lens = np.zeros((n_pad,), dtype=np.int32)
+        for k, (_, body, declared, _) in enumerate(comp_jobs):
+            comp[k, : len(body)] = body
+            comp_lens[k] = len(body)
+            out_lens[k] = declared
+        out, ok, _written, crcs = _decode_chunks_u8(
+            jnp.asarray(comp),
+            jnp.asarray(comp_lens),
+            jnp.asarray(out_lens),
+            _BLOCK,
+        )
+        out = np.asarray(out)
+        ok = np.asarray(ok)
+        crcs = np.asarray(crcs)
+        for k, (ci, _, declared, stored) in enumerate(comp_jobs):
+            if not ok[k]:
+                return None, "invalid"
+            if check_integrity and int(crcs[k]) != stored:
+                return None, "crc"
+            outputs[ci] = out[k, :declared].tobytes()
+
+    return [o if o is not None else b"" for o in outputs], "ok"
+
+
+def framed_uncompress(
+    data: bytes,
+    max_size: int = C.MAX_UNCOMPRESSED_LEN,
+    check_integrity: bool = True,
+    require_header: bool = True,
+) -> Tuple[Optional[bytes], str]:
+    """Whole-stream framed decode.  Returns (payload, "ok") or (None,
+    reason); reason in {"invalid", "crc", "unknown_chunk", "too_large"}."""
+    start = 0
+    if require_header:
+        if not framing.is_snappy_framed_stream(data):
+            return None, "invalid"
+        start = len(C.FRAMING_HEADER)
+    chunks = framing.scan_frames(data, start)
+    if chunks is None:
+        # Distinguish the unskippable-reserved case for error parity.
+        return None, _scan_failure_reason(data, start)
+    total = sum(c.uncompressed_len for c in chunks)
+    if total > max_size:
+        return None, "too_large"
+    outs, reason = framed_uncompress_chunks(data, chunks, check_integrity)
+    if outs is None:
+        return None, reason
+    return b"".join(outs), "ok"
+
+
+def _scan_failure_reason(data: bytes, start: int) -> str:
+    """Re-walk headers to classify a scan failure (invalid vs unknown chunk)."""
+    n = len(data)
+    read = start
+    while n - read >= 4:
+        cid, data_len = framing.decode_frame_header(data[read : read + 4])
+        if n - read < data_len + 4:
+            return "invalid"
+        if (
+            C.CHUNK_RESERVED_UNSKIPPABLE_LO
+            <= cid
+            <= C.CHUNK_RESERVED_UNSKIPPABLE_HI
+        ):
+            return "unknown_chunk"
+        read += 4 + data_len
+    return "invalid"

@@ -38,7 +38,7 @@ def decode_uint64(data, max_bytes: int = 10) -> Tuple[Optional[int], int]:
     value = 0
     shift = 0
     for i in range(min(len(data), max_bytes)):
-        b = data[i]
+        b = int(data[i])  # accept numpy arrays without wrapping arithmetic
         if shift >= 64 or (shift == 63 and (b & 0x7F) > 1):
             return None, 0  # overflow
         value |= (b & 0x7F) << shift

@@ -1,0 +1,123 @@
+"""Public-API tests: raw format (mirrors reference tests/test_snappy.nim)."""
+
+import random
+
+import pytest
+
+import snappy_tpu as s
+from snappy_tpu.formats import constants as C
+from snappy_tpu.testing import corpus, oracle
+
+from test_oracle import MALFORMED_RAW
+
+
+class TestRawRoundtrip:
+    @pytest.mark.parametrize(
+        "payload",
+        [
+            b"",
+            b"a",
+            b"ab",
+            b"hello world " * 100,
+            bytes(range(256)) * 8,
+            b"\x00" * 70000,  # multi-block RLE
+        ],
+    )
+    def test_roundtrip(self, payload):
+        enc = s.encode(payload)
+        assert s.decode(enc) == payload
+        # cross-decode with the sequential oracle
+        dec, err = oracle.uncompress(enc)
+        assert err is None and dec == payload
+
+    def test_empty_is_single_zero(self):
+        # Contract: test_snappy.nim:162-165
+        assert s.encode(b"") == b"\x00"
+        assert s.decode(b"\x00") == b""
+
+    def test_oracle_encodes_we_decode(self):
+        payload = b"differential " * 500
+        assert s.decode(oracle.compress(payload)) == payload
+
+    @pytest.mark.parametrize("m", [1, 2])
+    @pytest.mark.parametrize("delta", [-5, -1, 0, 1, 5])
+    def test_block_boundaries(self, m, delta):
+        # Buffer sizes straddling the 64 KiB block limit
+        # (test_snappy.nim:124-134).
+        n = m * C.MAX_BLOCK_LEN + delta
+        rng = random.Random(n)
+        word = bytes(rng.getrandbits(8) for _ in range(13))
+        payload = (word * (n // 13 + 1))[:n]
+        enc = s.encode(payload)
+        assert s.decode(enc) == payload
+        dec, err = oracle.uncompress(enc)
+        assert err is None and dec == payload
+
+    def test_max_size_guard(self):
+        payload = b"x" * 1000
+        enc = s.encode(payload)
+        assert s.decode(enc, max_size=999) == b""
+        assert s.decode(enc, max_size=1000) == payload
+
+
+class TestRawInto:
+    def test_compress_into(self):
+        payload = b"hello world " * 10
+        buf = bytearray(C.max_compressed_len(len(payload)))
+        res = s.compress_into(payload, buf)
+        assert res.is_ok()
+        assert s.decode(bytes(buf[: res.unwrap()])) == payload
+
+    def test_compress_into_too_small(self):
+        res = s.compress_into(b"hello", bytearray(3))
+        assert res.is_err() and res.error == s.CodecError.buffer_too_small
+
+    def test_uncompress_into(self):
+        payload = b"data " * 200
+        enc = s.encode(payload)
+        buf = bytearray(len(payload))
+        res = s.uncompress_into(enc, buf)
+        assert res.is_ok() and res.unwrap() == len(payload)
+        assert bytes(buf) == payload
+
+    def test_uncompress_into_too_small(self):
+        enc = s.encode(b"payload bytes here")
+        res = s.uncompress_into(enc, bytearray(4))
+        assert res.is_err() and res.error == s.CodecError.buffer_too_small
+
+
+class TestRawMalformed:
+    @pytest.mark.parametrize("idx", range(len(MALFORMED_RAW)))
+    def test_malformed_empty(self, idx):
+        assert s.decode(MALFORMED_RAW[idx]) == b""
+
+    @pytest.mark.parametrize("name", corpus.BAD_FILES)
+    def test_baddata(self, corpus_root, name):
+        assert s.decode(corpus.read_data(name)) == b""
+
+    def test_uncompress_into_malformed(self):
+        res = s.uncompress_into(b"\x05\xff\xff", bytearray(16))
+        assert res.is_err() and res.error == s.CodecError.invalid_input
+
+
+class TestRawGoldenCorpus:
+    def test_golden_decode(self, corpus_root):
+        gold = corpus.read_data(corpus.GOLDEN_RAWSNAPPY)
+        ref, err = oracle.uncompress(gold)
+        assert err is None
+        assert s.decode(gold) == ref
+
+    @pytest.mark.parametrize("name", ["html", "Mark.Twain-Tom.Sawyer.txt"])
+    def test_corpus_roundtrip_and_size(self, corpus_root, name):
+        data = corpus.read_data(name)
+        enc = s.encode(data)
+        assert s.decode(enc) == data
+        dec, err = oracle.uncompress(enc)
+        assert err is None and dec == data
+        # Size contract: no larger than the reference-algorithm oracle.
+        assert len(enc) <= len(oracle.compress(data))
+
+    def test_uncompressed_len(self, corpus_root):
+        gold = corpus.read_data(corpus.GOLDEN_RAWSNAPPY)
+        declared = s.uncompressed_len(gold)
+        assert declared == len(s.decode(gold))
