@@ -92,6 +92,23 @@ def uncompress_into(data: bytes, out: Union[bytearray, memoryview]) -> Result[in
         return Err(CodecError.invalid_input)
     if declared > len(out):
         return Err(CodecError.buffer_too_small)
+
+    from . import config
+    from .formats import varint
+    from .ops import host_codec
+
+    if config.resolve_backend() == "host" and host_codec.available():
+        import numpy as np
+
+        out_arr = np.frombuffer(out, dtype=np.uint8)
+        if out_arr.flags.writeable:
+            data_b = bytes(data)
+            _, read = varint.decode_uint64(data_b)
+            ok = host_codec.decode_tags_into(data_b[read:], declared, out_arr)
+            if not ok:
+                return Err(CodecError.invalid_input)
+            return Ok(declared)
+
     payload, reason = engine.raw_uncompress(bytes(data), C.MAX_UNCOMPRESSED_LEN)
     if payload is None:
         return Err(CodecError.invalid_input)
@@ -186,12 +203,32 @@ def uncompress_framed_into(
         read = ch.header_pos + 4 + ch.data_len
 
     if taken:
-        outs, reason = engine.framed_uncompress_chunks(data, taken, check_integrity)
-        if outs is None:
-            return Err(_FRAME_REASONS[reason])
-        blob = b"".join(outs)
-        out[: len(blob)] = blob
-        written = len(blob)
+        from . import config
+        from .ops import host_codec
+
+        if config.resolve_backend() == "host" and host_codec.available():
+            import numpy as np
+
+            out_arr = np.frombuffer(out, dtype=np.uint8)
+            if not out_arr.flags.writeable:
+                out_arr = None
+            blob, reason = host_codec.framed_uncompress_scanned(
+                data, taken, check_integrity, out=out_arr
+            )
+            if blob is None:
+                return Err(_FRAME_REASONS[reason])
+            if out_arr is None:
+                out[: len(blob)] = blob
+            written = written_plan
+        else:
+            outs, reason = engine.framed_uncompress_chunks(
+                data, taken, check_integrity
+            )
+            if outs is None:
+                return Err(_FRAME_REASONS[reason])
+            blob = b"".join(outs)
+            out[: len(blob)] = blob
+            written = len(blob)
     else:
         written = 0
     return Ok((read, written))

@@ -1,0 +1,47 @@
+"""Runtime configuration: codec backend selection.
+
+Two execution paths provide identical semantics (cross-tested):
+
+* ``device`` — the JAX/XLA kernels: data-parallel decode/encode batched on
+  the accelerator, with on-chip CRC32C.  The right path when payloads
+  already live (or are headed) in device memory, and the only path for the
+  ``parallel`` mesh APIs.
+* ``host`` — the native C runtime (ops/native/snappy_codec.c) with
+  thread fan-out over 64 KiB block spans.  The right path for host-resident
+  bytes: byte-pointer chasing is the one workload shape where a scalar core
+  beats a vector core, so small one-shot ``bytes -> bytes`` calls route
+  here by default.
+
+``auto`` (default) picks ``host`` when the native library is available and
+``device`` otherwise.  Select explicitly with ``set_backend`` or the
+``SNAPPY_TPU_BACKEND`` environment variable.
+"""
+
+from __future__ import annotations
+
+import os
+
+_VALID = ("auto", "device", "host")
+_backend = os.environ.get("SNAPPY_TPU_BACKEND", "auto")
+if _backend not in _VALID:
+    _backend = "auto"
+
+
+def set_backend(name: str) -> None:
+    global _backend
+    if name not in _VALID:
+        raise ValueError(f"backend must be one of {_VALID}")
+    _backend = name
+
+
+def get_backend() -> str:
+    return _backend
+
+
+def resolve_backend() -> str:
+    """Resolve 'auto' to a concrete backend."""
+    if _backend != "auto":
+        return _backend
+    from .ops import host_codec
+
+    return "host" if host_codec.available() else "device"

@@ -87,9 +87,20 @@ def _split_blocks(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return blocks, blens
 
 
-def raw_compress(data: bytes) -> Optional[bytes]:
+def raw_compress(data: bytes, backend: Optional[str] = None) -> Optional[bytes]:
     """Raw-format compress: varint header + concatenated block tag streams
-    (contract parity: snappy.nim:27-64)."""
+    (contract parity: snappy.nim:27-64).
+
+    ``backend``: "device" | "host" | None (= resolve the configured default).
+    Both backends produce valid, cross-decodable streams; exact bytes differ
+    (the reference's own tests accept the same across implementations,
+    test_snappy.nim:50-53).
+    """
+    from . import config
+    from .ops import host_codec
+
+    if (backend or config.resolve_backend()) == "host" and host_codec.available():
+        return host_codec.raw_compress(data)
     n = len(data)
     if n > C.MAX_UNCOMPRESSED_LEN:
         return None
@@ -115,10 +126,17 @@ def raw_compress(data: bytes) -> Optional[bytes]:
 
 
 def raw_uncompress(
-    data: bytes, max_size: int = C.MAX_UNCOMPRESSED_LEN
+    data: bytes,
+    max_size: int = C.MAX_UNCOMPRESSED_LEN,
+    backend: Optional[str] = None,
 ) -> Tuple[Optional[bytes], str]:
     """Raw-format uncompress.  Returns (payload, "ok") or (None, reason);
     reason in {"invalid", "too_large"} (parity: snappy.nim:84-128)."""
+    from . import config
+    from .ops import host_codec
+
+    if (backend or config.resolve_backend()) == "host" and host_codec.available():
+        return host_codec.raw_uncompress(data, max_size)
     declared, read = varint.decode_uint64(data)
     if declared is None or declared > C.MAX_UNCOMPRESSED_LEN:
         return None, "invalid"
@@ -149,10 +167,17 @@ def raw_uncompress(
 # ---------------------------------------------------------------------------
 
 
-def framed_compress(data: bytes, with_header: bool = True) -> Optional[bytes]:
+def framed_compress(
+    data: bytes, with_header: bool = True, backend: Optional[str] = None
+) -> Optional[bytes]:
     """Framed-format compress (contract parity: snappy.nim:130-155 and
     encoder.nim:385-426): per-64 KiB frame, masked CRC + compressed payload
     if it saves >= 1/8 of the frame, else the verbatim payload."""
+    from . import config
+    from .ops import host_codec
+
+    if (backend or config.resolve_backend()) == "host" and host_codec.available():
+        return host_codec.framed_compress(data, with_header)
     n = len(data)
     parts: List[bytes] = [C.FRAMING_HEADER] if with_header else []
     if n == 0:
@@ -203,6 +228,7 @@ def framed_uncompress_chunks(
     data: bytes,
     chunks: List[framing.ChunkInfo],
     check_integrity: bool = True,
+    backend: Optional[str] = None,
 ) -> Tuple[Optional[List[bytes]], str]:
     """Decode a list of scanned chunks; returns (payload_per_chunk, "ok")
     or (None, reason) with reason in {"invalid", "crc", "unknown_chunk"}.
@@ -248,6 +274,25 @@ def framed_uncompress_chunks(
         else:
             outputs[ci] = b""  # reserved skippable: ignore payload
 
+    from . import config
+    from .ops import host_codec
+
+    if (
+        comp_jobs
+        and (backend or config.resolve_backend()) == "host"
+        and host_codec.available()
+    ):
+        outs = host_codec.decode_chunks_parallel(
+            [(bytes(body), declared) for (_, body, declared, _) in comp_jobs]
+        )
+        for (ci, _, declared, stored), o in zip(comp_jobs, outs):
+            if o is None:
+                return None, "invalid"
+            if check_integrity and crc32c_native.masked_crc32c(o) != stored:
+                return None, "crc"
+            outputs[ci] = o
+        comp_jobs = []
+
     if comp_jobs:
         max_body = max(len(j[1]) for j in comp_jobs)
         c_pad = _bucket(max_body, lo=1024)
@@ -284,6 +329,7 @@ def framed_uncompress(
     max_size: int = C.MAX_UNCOMPRESSED_LEN,
     check_integrity: bool = True,
     require_header: bool = True,
+    backend: Optional[str] = None,
 ) -> Tuple[Optional[bytes], str]:
     """Whole-stream framed decode.  Returns (payload, "ok") or (None,
     reason); reason in {"invalid", "crc", "unknown_chunk", "too_large"}."""
@@ -299,7 +345,14 @@ def framed_uncompress(
     total = sum(c.uncompressed_len for c in chunks)
     if total > max_size:
         return None, "too_large"
-    outs, reason = framed_uncompress_chunks(data, chunks, check_integrity)
+
+    from . import config
+    from .ops import host_codec
+
+    if (backend or config.resolve_backend()) == "host" and host_codec.available():
+        return host_codec.framed_uncompress_scanned(data, chunks, check_integrity)
+
+    outs, reason = framed_uncompress_chunks(data, chunks, check_integrity, backend)
     if outs is None:
         return None, reason
     return b"".join(outs), "ok"

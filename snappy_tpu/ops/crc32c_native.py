@@ -124,5 +124,15 @@ def masked_crc32c(data: bytes) -> int:
     return mask_crc(_crc32c_py(bytes(data)))
 
 
+def masked_crc32c_ptr(ptr: int, length: int) -> int:
+    """Masked CRC32C over a raw pointer (zero-copy; for numpy buffers)."""
+    lib = _get_lib()
+    if lib is not None:
+        return lib.snappy_tpu_masked_crc32c(
+            ctypes.cast(ptr, ctypes.c_char_p), length
+        )
+    raise RuntimeError("native crc32c unavailable")
+
+
 def using_native() -> bool:
     return _get_lib() is not None

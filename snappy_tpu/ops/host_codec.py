@@ -1,0 +1,415 @@
+"""Host codec: ctypes binding to the native C block codec, with thread fan-out.
+
+This is the framework's CPU runtime path (the reference's equivalent surface
+is its compiled Nim/C core).  ctypes calls release the GIL, so independent
+64 KiB block spans compress/decompress on all host cores in parallel —
+block data-parallelism on the host mirrors the device mesh strategy
+(SURVEY §2.3 item 1).
+
+Falls back to None (callers route to the device or oracle path) when no C
+toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_scratch = threading.local()
+
+
+def _scratch_buf(size: int) -> np.ndarray:
+    """Grow-only per-thread scratch buffer (avoids page-fault churn from
+    fresh allocations in the hot encode path)."""
+    buf = getattr(_scratch, "buf", None)
+    if buf is None or buf.size < size:
+        buf = np.empty((max(size, 1 << 20),), dtype=np.uint8)
+        _scratch.buf = buf
+    return buf
+
+from ..formats import constants as C
+from ..formats import varint
+
+_SRC = Path(__file__).parent / "native" / "snappy_codec.c"
+_SRC_CRC = Path(__file__).parent / "native" / "crc32c.c"
+
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+_pool: Optional[ThreadPoolExecutor] = None
+
+
+def _cache_dir() -> Path:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    d = Path(base) / "snappy_tpu"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    if _build_failed:
+        return None
+    try:
+        src = _SRC.read_bytes() + _SRC_CRC.read_bytes()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        so_path = _cache_dir() / f"snappy_codec_{tag}.so"
+        if not so_path.exists():
+            cc = os.environ.get("CC", "cc")
+            with tempfile.TemporaryDirectory() as td:
+                tmp_so = Path(td) / "lib.so"
+                subprocess.run(
+                    [
+                        cc,
+                        "-O3",
+                        "-march=native",
+                        "-shared",
+                        "-fPIC",
+                        str(_SRC),
+                        str(_SRC_CRC),
+                        "-o",
+                        str(tmp_so),
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp_so, so_path)
+        lib = ctypes.CDLL(str(so_path))
+        lib.stpu_encode_span.restype = ctypes.c_size_t
+        lib.stpu_encode_span.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
+        lib.stpu_decode_tags.restype = ctypes.c_int
+        lib.stpu_decode_tags.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.stpu_encode_framed_slab.restype = ctypes.c_size_t
+        lib.stpu_encode_framed_slab.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
+        lib.stpu_decode_framed_slab.restype = ctypes.c_int
+        lib.stpu_decode_framed_slab.argtypes = [
+            ctypes.c_void_p,  # stream
+            ctypes.c_void_p,  # kinds u8
+            ctypes.c_void_p,  # src_off i64
+            ctypes.c_void_p,  # src_len i64
+            ctypes.c_void_p,  # declared i64
+            ctypes.c_void_p,  # out_off i64
+            ctypes.c_void_p,  # stored_crc u32
+            ctypes.c_int,
+            ctypes.c_void_p,  # out
+            ctypes.c_int,
+        ]
+        return lib
+    except Exception:
+        _build_failed = True
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None and not _build_failed:
+        _lib = _build()
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _get_pool() -> ThreadPoolExecutor:
+    global _pool
+    if _pool is None:
+        _pool = ThreadPoolExecutor(max_workers=min(32, os.cpu_count() or 4))
+    return _pool
+
+
+# Span size per task: 16 blocks = 1 MiB keeps per-task overhead negligible.
+_SPAN_BLOCKS = 16
+_SPAN = _SPAN_BLOCKS * C.MAX_BLOCK_LEN
+
+
+def raw_compress(data: bytes) -> Optional[bytes]:
+    """Raw-format compress on host cores (varint + block tag streams)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    if n > C.MAX_UNCOMPRESSED_LEN:
+        return None
+    header = varint.encode_uint32(n)
+    if n == 0:
+        return header
+    buf = np.frombuffer(data, dtype=np.uint8)
+    spans = [(s, min(n, s + _SPAN)) for s in range(0, n, _SPAN)]
+
+    def work(span: Tuple[int, int]) -> bytes:
+        lo, hi = span
+        m = hi - lo
+        cap = C.max_compressed_len(C.MAX_BLOCK_LEN) * (
+            (m + C.MAX_BLOCK_LEN - 1) // C.MAX_BLOCK_LEN
+        )
+        out = _scratch_buf(cap)
+        written = lib.stpu_encode_span(
+            buf[lo:hi].ctypes.data, m, out.ctypes.data
+        )
+        return out[:written].tobytes()
+
+    if len(spans) == 1:
+        parts = [work(spans[0])]
+    else:
+        parts = list(_get_pool().map(work, spans))
+    return header + b"".join(parts)
+
+
+def decode_tags(body, out_len: int) -> Tuple[Optional[bytes], int]:
+    """Decode one raw tag stream; returns (bytes or None, written)."""
+    lib = get_lib()
+    assert lib is not None
+    src = np.frombuffer(bytes(body), dtype=np.uint8)
+    out = np.empty((out_len,), dtype=np.uint8)
+    written = ctypes.c_size_t(0)
+    rc = lib.stpu_decode_tags(
+        src.ctypes.data if len(src) else None,
+        len(src),
+        out.ctypes.data if out_len else None,
+        out_len,
+        ctypes.byref(written),
+    )
+    if rc != 0:
+        return None, 0
+    return out[: written.value].tobytes(), written.value
+
+
+def decode_tags_into(body: bytes, out_len: int, out_arr: np.ndarray) -> bool:
+    """Decode one raw tag stream directly into a caller numpy buffer.
+
+    Returns True iff the stream is valid and produced exactly ``out_len``
+    bytes (the raw-format written==declared rule, snappy.nim:107-108).
+    """
+    lib = get_lib()
+    assert lib is not None and out_arr.dtype == np.uint8
+    assert out_arr.size >= out_len
+    src = np.frombuffer(body, dtype=np.uint8)
+    written = ctypes.c_size_t(0)
+    rc = lib.stpu_decode_tags(
+        src.ctypes.data if len(src) else None,
+        len(src),
+        out_arr.ctypes.data if out_len else None,
+        out_len,
+        ctypes.byref(written),
+    )
+    return rc == 0 and written.value == out_len
+
+
+def raw_uncompress(data: bytes, max_size: int) -> Tuple[Optional[bytes], str]:
+    """Raw-format uncompress on the host (validation parity with the device
+    path; single-threaded — the tag stream is not self-delimiting)."""
+    lib = get_lib()
+    if lib is None:
+        return None, "invalid"
+    declared, read = varint.decode_uint64(data)
+    if declared is None or declared > C.MAX_UNCOMPRESSED_LEN:
+        return None, "invalid"
+    if declared > max_size:
+        return None, "too_large"
+    body = data[read:]
+    if declared == 0:
+        return (b"", "ok") if len(body) == 0 else (None, "invalid")
+    out, written = decode_tags(body, int(declared))
+    if out is None or written != declared:
+        return None, "invalid"
+    return out, "ok"
+
+
+def framed_compress(data: bytes, with_header: bool = True) -> Optional[bytes]:
+    """Framed-format compress on host cores: per-64 KiB frame, masked CRC +
+    compressed payload if it saves >= 1/8, else verbatim (the same contract
+    as the device pipeline; encoder.nim:385-426).
+
+    The whole per-frame loop (CRC + block compression + chunk assembly) runs
+    in C per slab of frames; Python only fans slabs out over threads and
+    concatenates the results."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    head = C.FRAMING_HEADER if with_header else b""
+    if n == 0:
+        return head
+    buf = np.frombuffer(data, dtype=np.uint8)
+    spans = [(s, min(n, s + _SPAN)) for s in range(0, n, _SPAN)]
+    # Worst case per frame: 8 framing bytes + verbatim payload, except a
+    # partially-compressible frame can briefly need max_compressed_len.
+    per_frame_cap = 8 + C.MAX_UNCOMPRESSED_FRAME_DATA_LEN
+
+    def work(span: Tuple[int, int]) -> bytes:
+        lo, hi = span
+        frames = (hi - lo + C.MAX_BLOCK_LEN - 1) // C.MAX_BLOCK_LEN
+        out = _scratch_buf(frames * per_frame_cap)
+        written = lib.stpu_encode_framed_slab(
+            buf.ctypes.data, lo, hi, out.ctypes.data
+        )
+        return out[:written].tobytes()
+
+    if len(spans) == 1:
+        return head + work(spans[0])
+    return head + b"".join(_get_pool().map(work, spans))
+
+
+def decode_chunks_parallel(
+    jobs: List[Tuple[bytes, int]]
+) -> List[Optional[bytes]]:
+    """Decode many independent tag streams (framed chunks) on host threads.
+
+    jobs: list of (tag_stream_bytes, declared_out_len).
+    """
+    lib = get_lib()
+    assert lib is not None
+
+    def work(job):
+        body, declared = job
+        out, written = decode_tags(body, declared)
+        if out is None or written != declared:
+            return None
+        return out
+
+    if len(jobs) <= 1:
+        return [work(j) for j in jobs]
+    return list(_get_pool().map(work, jobs))
+
+
+def framed_uncompress_scanned(
+    data: bytes,
+    chunks,
+    check_integrity: bool = True,
+    out: Optional[np.ndarray] = None,
+) -> Tuple[Optional[bytes], str]:
+    """Decode a scanned framed stream with zero-copy assembly.
+
+    One output buffer (caller-provided via ``out``, else freshly allocated)
+    receives every chunk at its final offset; worker threads run whole slabs
+    of chunks through the native decode+CRC loop — no per-chunk Python, no
+    join, CRC fully parallel.  Semantics parity with the engine's device
+    path (snappy.nim:199-265).
+
+    Returns (payload_bytes, "ok") — or (b"", "ok") with the data left in
+    ``out`` when the caller provided the buffer.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None, "invalid"
+    from . import crc32c_native
+    from ..formats import constants as C_
+
+    if not crc32c_native.using_native():
+        return None, "invalid"
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    total = sum(ch.uncompressed_len for ch in chunks)
+    caller_buffer = out is not None
+    if caller_buffer:
+        assert out.dtype == np.uint8 and out.size >= total
+    else:
+        out = np.empty((total,), dtype=np.uint8)
+    out_ptr = out.ctypes.data
+
+    # Build per-chunk jobs with absolute output offsets.
+    jobs = []  # (kind, src_off, src_len, declared, out_off, stored_crc)
+    pos = 0
+    for ch in chunks:
+        if ch.id == C_.CHUNK_COMPRESSED:
+            if ch.data_len < 4:
+                return None, "invalid"
+            stored = int.from_bytes(data[ch.data_pos : ch.data_pos + 4], "little")
+            payload_off = ch.data_pos + 4
+            payload_len = ch.data_len - 4
+            declared, read = varint.decode_uint64(
+                buf[payload_off : payload_off + min(8, payload_len)]
+            )
+            if declared is None or declared > C_.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
+                return None, "invalid"
+            jobs.append(
+                (0, payload_off + read, payload_len - read, int(declared), pos, stored)
+            )
+            pos += int(declared)
+        elif ch.id == C_.CHUNK_UNCOMPRESSED:
+            if ch.data_len < 4:
+                return None, "invalid"
+            stored = int.from_bytes(data[ch.data_pos : ch.data_pos + 4], "little")
+            jobs.append((1, ch.data_pos + 4, ch.data_len - 4, ch.data_len - 4, pos, stored))
+            pos += ch.data_len - 4
+        elif ch.id == C_.CHUNK_STREAM_HEADER or ch.id >= C_.CHUNK_RESERVED_SKIPPABLE_LO:
+            continue
+        else:
+            return None, "unknown_chunk"
+    assert pos == total
+
+    nj = len(jobs)
+    if nj == 0:
+        return b"", "ok"
+    kinds = np.empty((nj,), np.uint8)
+    src_off = np.empty((nj,), np.int64)
+    src_len = np.empty((nj,), np.int64)
+    declared_a = np.empty((nj,), np.int64)
+    out_off = np.empty((nj,), np.int64)
+    stored = np.empty((nj,), np.uint32)
+    for k, (kind, s_off, s_len, decl, o_off, st) in enumerate(jobs):
+        kinds[k] = kind
+        src_off[k] = s_off
+        src_len[k] = s_len
+        declared_a[k] = decl
+        out_off[k] = o_off
+        stored[k] = st
+
+    src_ptr = buf.ctypes.data
+    n_workers = min(32, os.cpu_count() or 4)
+    slab = max(1, (nj + n_workers * 4 - 1) // (n_workers * 4))
+
+    def work(lo: int) -> int:
+        hi = min(nj, lo + slab)
+        return lib.stpu_decode_framed_slab(
+            src_ptr,
+            kinds.ctypes.data + lo,
+            src_off.ctypes.data + 8 * lo,
+            src_len.ctypes.data + 8 * lo,
+            declared_a.ctypes.data + 8 * lo,
+            out_off.ctypes.data + 8 * lo,
+            stored.ctypes.data + 4 * lo,
+            hi - lo,
+            out_ptr,
+            1 if check_integrity else 0,
+        )
+
+    starts = list(range(0, nj, slab))
+    if len(starts) <= 1:
+        rcs = [work(s) for s in starts]
+    else:
+        rcs = list(_get_pool().map(work, starts))
+    for rc in rcs:
+        if rc == 1:
+            return None, "invalid"
+        if rc == 2:
+            return None, "crc"
+    if caller_buffer:
+        return b"", "ok"
+    return out[:total].tobytes(), "ok"

