@@ -54,13 +54,15 @@ def log(*args):
 
 
 def mean_time(fn, samples=SAMPLES):
+    """Median over samples (robust to contention spikes on shared hosts;
+    the reference uses the mean of a quiet machine, benchmark.nim:20-23)."""
     fn()
     times = []
     for _ in range(samples):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return float(np.mean(times))
+    return float(np.median(times))
 
 
 def bench_host(datasets):
