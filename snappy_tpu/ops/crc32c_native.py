@@ -46,7 +46,7 @@ def _build() -> Optional[ctypes.CDLL]:
             with tempfile.TemporaryDirectory() as td:
                 tmp_so = Path(td) / "crc32c.so"
                 subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp_so)],
+                    [cc, "-O3", "-march=native", "-shared", "-fPIC", str(_SRC), "-o", str(tmp_so)],
                     check=True,
                     capture_output=True,
                 )

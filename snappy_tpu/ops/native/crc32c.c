@@ -59,9 +59,49 @@ static uint32_t crc32c_update(uint32_t crc, const uint8_t* buf, size_t len) {
   return crc;
 }
 
+#if defined(__x86_64__) && defined(__SSE4_2__)
+/* Hardware path: the SSE4.2 crc32 instruction implements exactly the
+ * Castagnoli polynomial used by snappy framing.  ~10x the table path. */
+#include <nmmintrin.h>
+static uint32_t crc32c_update_hw(uint32_t crc, const uint8_t* buf, size_t len) {
+  uint64_t c = crc;
+  while (len && ((uintptr_t)buf & 7)) {
+    c = _mm_crc32_u8((uint32_t)c, *buf++);
+    len--;
+  }
+  while (len >= 32) {
+    uint64_t a, b, d, e;
+    memcpy(&a, buf, 8);
+    memcpy(&b, buf + 8, 8);
+    memcpy(&d, buf + 16, 8);
+    memcpy(&e, buf + 24, 8);
+    c = _mm_crc32_u64(c, a);
+    c = _mm_crc32_u64(c, b);
+    c = _mm_crc32_u64(c, d);
+    c = _mm_crc32_u64(c, e);
+    buf += 32;
+    len -= 32;
+  }
+  while (len >= 8) {
+    uint64_t a;
+    memcpy(&a, buf, 8);
+    c = _mm_crc32_u64(c, a);
+    buf += 8;
+    len -= 8;
+  }
+  while (len--) c = _mm_crc32_u8((uint32_t)c, *buf++);
+  return (uint32_t)c;
+}
+#define HAVE_HW_CRC 1
+#endif
+
 uint32_t snappy_tpu_crc32c(const uint8_t* buf, size_t len) {
+#ifdef HAVE_HW_CRC
+  return ~crc32c_update_hw(0xFFFFFFFFu, buf, len);
+#else
   snappy_tpu_crc32c_init();
   return ~crc32c_update(0xFFFFFFFFu, buf, len);
+#endif
 }
 
 uint32_t snappy_tpu_masked_crc32c(const uint8_t* buf, size_t len) {

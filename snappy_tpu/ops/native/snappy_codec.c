@@ -136,7 +136,10 @@ uint32_t stpu_encode_block(const uint8_t* in, uint32_t n, uint8_t* out,
     uint32_t skip = 32;
     const uint8_t* next_ip = ip;
     const uint8_t* candidate;
-    /* probe loop with 1/32 skip heuristic (encoder.nim:256-331) */
+
+    /* probe loop with 1/32 skip heuristic (encoder.nim:256-331); the
+     * reference's unrolled 4x4 dense phase was tried and measured slower
+     * on this host's cores, so probes stay uniform */
     for (;;) {
       ip = next_ip;
       uint32_t step = skip >> 5;
@@ -153,6 +156,7 @@ uint32_t stpu_encode_block(const uint8_t* in, uint32_t n, uint8_t* out,
       table[h] = (uint16_t)(ip - base);
       if (cur == load32(candidate)) break;
     }
+
 
     if (next_emit < ip)
       op = emit_literal(op, next_emit, (uint32_t)(ip - next_emit), in_end);
