@@ -493,4 +493,15 @@ int stpu_decode_framed_slab(const uint8_t* stream, const uint8_t* kinds,
   return 0;
 }
 
+/* Scan a raw tag stream without moving data, locating the input offset
+ * where each 64 KiB *output* block begins.  Block-based encoders (ours,
+ * the reference, google/snappy) never let a tag or a copy source cross a
+ * 64 KiB output boundary, which makes those blocks independently
+ * decodable — the scan proves it for this particular stream.
+ *
+ * Returns the number of blocks found (in_offs[k] = input offset of output
+ * byte k*65536), or -1 when the stream is malformed / total mismatches
+ * out_len, or -2 when the stream is valid-looking but NOT block-parallel
+ * (some tag or copy crosses a boundary) — callers fall back to the
+ * sequential decoder, which is authoritative either way. */
 int stpu_using_native(void) { return 1; }
