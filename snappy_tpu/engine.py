@@ -233,11 +233,26 @@ def framed_uncompress_chunks(
     """Decode a list of scanned chunks; returns (payload_per_chunk, "ok")
     or (None, reason) with reason in {"invalid", "crc", "unknown_chunk"}.
 
-    Compressed chunks are batched and decoded on-device (with on-chip CRC of
-    the decoded output); uncompressed chunks are validated with the native
-    host CRC.  Semantics parity: snappy.nim:199-265.
+    Returns a list of byte segments whose in-order concatenation is the
+    decoded payload (one entry per chunk on the device path; the host path
+    may return a single pre-assembled segment).
+
+    Host backend: the whole chunk list goes through the native slab decoder
+    (decode + CRC per slab of chunks on all cores, zero-copy assembly).
+    Device backend: compressed chunks are batched and decoded on-device with
+    on-chip CRC of the decoded output; uncompressed chunks are validated
+    with the native host CRC.  Semantics parity: snappy.nim:199-265.
     """
-    from .ops import crc32c_native
+    from . import config
+    from .ops import crc32c_native, host_codec
+
+    if (backend or config.resolve_backend()) == "host" and host_codec.available():
+        blob, reason = host_codec.framed_uncompress_scanned(
+            data, chunks, check_integrity
+        )
+        if blob is None:
+            return None, reason
+        return [blob], "ok"
 
     arr = np.frombuffer(data, dtype=np.uint8)
     outputs: List[Optional[bytes]] = [None] * len(chunks)
@@ -273,25 +288,6 @@ def framed_uncompress_chunks(
             return None, "unknown_chunk"
         else:
             outputs[ci] = b""  # reserved skippable: ignore payload
-
-    from . import config
-    from .ops import host_codec
-
-    if (
-        comp_jobs
-        and (backend or config.resolve_backend()) == "host"
-        and host_codec.available()
-    ):
-        outs = host_codec.decode_chunks_parallel(
-            [(bytes(body), declared) for (_, body, declared, _) in comp_jobs]
-        )
-        for (ci, _, declared, stored), o in zip(comp_jobs, outs):
-            if o is None:
-                return None, "invalid"
-            if check_integrity and crc32c_native.masked_crc32c(o) != stored:
-                return None, "crc"
-            outputs[ci] = o
-        comp_jobs = []
 
     if comp_jobs:
         max_body = max(len(j[1]) for j in comp_jobs)

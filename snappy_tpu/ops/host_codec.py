@@ -24,6 +24,9 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from ..formats import constants as C
+from ..formats import varint
+
 _scratch = threading.local()
 
 
@@ -35,9 +38,6 @@ def _scratch_buf(size: int) -> np.ndarray:
         buf = np.empty((max(size, 1 << 20),), dtype=np.uint8)
         _scratch.buf = buf
     return buf
-
-from ..formats import constants as C
-from ..formats import varint
 
 _SRC = Path(__file__).parent / "native" / "snappy_codec.c"
 _SRC_CRC = Path(__file__).parent / "native" / "crc32c.c"
@@ -282,28 +282,6 @@ def framed_compress(data: bytes, with_header: bool = True) -> Optional[bytes]:
     if len(spans) == 1:
         return head + work(spans[0])
     return head + b"".join(_get_pool().map(work, spans))
-
-
-def decode_chunks_parallel(
-    jobs: List[Tuple[bytes, int]]
-) -> List[Optional[bytes]]:
-    """Decode many independent tag streams (framed chunks) on host threads.
-
-    jobs: list of (tag_stream_bytes, declared_out_len).
-    """
-    lib = get_lib()
-    assert lib is not None
-
-    def work(job):
-        body, declared = job
-        out, written = decode_tags(body, declared)
-        if out is None or written != declared:
-            return None
-        return out
-
-    if len(jobs) <= 1:
-        return [work(j) for j in jobs]
-    return list(_get_pool().map(work, jobs))
 
 
 def framed_uncompress_scanned(

@@ -11,7 +11,6 @@ async by itself and releases the GIL during execution).
 from __future__ import annotations
 
 import asyncio
-from typing import Optional
 
 from .. import engine
 from ..formats import constants as C
