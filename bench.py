@@ -49,6 +49,8 @@ SAMPLES = int(os.environ.get("SNAPPY_TPU_BENCH_SAMPLES", "20"))
 BENCH_DEVICE = os.environ.get("SNAPPY_TPU_BENCH_DEVICE", "1") != "0"
 # Set to a directory to capture a jax.profiler trace of the device section.
 PROFILE_DIR = os.environ.get("SNAPPY_TPU_BENCH_PROFILE", "")
+# Opt-in 1 GiB framed streams (BASELINE config 3).
+BENCH_BIG = os.environ.get("SNAPPY_TPU_BENCH_BIG", "0") == "1"
 
 
 def log(*args):
@@ -121,10 +123,16 @@ def bench_host(datasets):
         f"{total_b/(ref_dec_ms*1e-3)/1e9:.3f})"
     )
 
-    # Large-payload steady state: chunk-parallel framed pipeline.
+    # Large-payload steady state: chunk-parallel framed pipeline; encode
+    # into a reused caller buffer (like the reference's benchmark).
+    from snappy_tpu.formats import constants as Cc
+
     big = b"".join(datasets.values()) * 16  # ~47 MB
     fenc = engine.framed_compress(big, backend="host")
-    te = mean_time(lambda: engine.framed_compress(big, backend="host"), samples=8)
+    fenc_buf = np.empty((Cc.max_compressed_len_framed(len(big)),), np.uint8)
+    te = mean_time(
+        lambda: host_codec.framed_compress_into(big, fenc_buf), samples=8
+    )
     big_out = bytearray(len(big))
     res = s.uncompress_framed_into(fenc, big_out)
     assert res.is_ok() and res.unwrap() == (len(fenc), len(big))
@@ -147,6 +155,35 @@ def bench_host(datasets):
         f"(threaded), decode {len(big)/td/1e9:.3f} GB/s (single-stream)"
     )
     return framed_enc_gbps, framed_dec_gbps
+
+
+def bench_big(datasets):
+    """BASELINE config 3: 1 GiB framed streams — mixed-compressibility
+    synthetic plus an incompressible stream — with CRC verification."""
+    import snappy_tpu as s
+    from snappy_tpu import engine
+
+    log("== 1 GiB framed streams ==")
+    corpus_blob = b"".join(datasets.values())
+    reps = (1 << 30) // len(corpus_blob) + 1
+    mixed = (corpus_blob * reps)[: 1 << 30]
+    rng = np.random.default_rng(7)
+    incompressible = rng.integers(0, 256, 1 << 30, dtype=np.uint8).tobytes()
+
+    for name, payload in [("mixed 1GiB", mixed), ("incompressible 1GiB", incompressible)]:
+        enc = engine.framed_compress(payload, backend="host")
+        te = mean_time(
+            lambda: engine.framed_compress(payload, backend="host"), samples=3
+        )
+        out = bytearray(len(payload))
+        res = s.uncompress_framed_into(enc, out)
+        assert res.is_ok() and bytes(out) == payload
+        td = mean_time(lambda: s.uncompress_framed_into(enc, out), samples=3)
+        log(
+            f"{name:22s} ratio={len(enc)/len(payload):.3f} "
+            f"encode {len(payload)/te/1e9:.3f} GB/s "
+            f"decode {len(payload)/td/1e9:.3f} GB/s"
+        )
 
 
 def bench_device(datasets):
@@ -247,6 +284,9 @@ def main():
         }
 
     framed_enc_gbps, framed_dec_gbps = bench_host(datasets)
+
+    if BENCH_BIG:
+        bench_big(datasets)
 
     if BENCH_DEVICE:
         try:

@@ -138,6 +138,19 @@ def compress_framed_into(data: bytes, out: bytearray) -> Result[int]:
     """Framed compress into a caller buffer (snappy.nim:130-155)."""
     if len(out) < C.max_compressed_len_framed(len(data)):
         return Err(FrameError.buffer_too_small)
+
+    from . import config
+    from .ops import host_codec
+
+    if config.resolve_backend() == "host" and host_codec.available():
+        import numpy as np
+
+        out_arr = np.frombuffer(out, dtype=np.uint8)
+        if out_arr.flags.writeable:
+            written = host_codec.framed_compress_into(bytes(data), out_arr)
+            if written is not None:
+                return Ok(written)
+
     enc = engine.framed_compress(bytes(data))
     if enc is None:
         return Err(FrameError.invalid_input)

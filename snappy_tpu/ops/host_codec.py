@@ -284,6 +284,76 @@ def framed_compress(data: bytes, with_header: bool = True) -> Optional[bytes]:
     return head + b"".join(_get_pool().map(work, spans))
 
 
+_arena = threading.local()
+
+
+def _arena_buf(size: int) -> np.ndarray:
+    """Grow-only arena for whole-payload staging (distinct from the
+    per-thread span scratch)."""
+    buf = getattr(_arena, "buf", None)
+    if buf is None or buf.size < size:
+        buf = np.empty((size,), dtype=np.uint8)
+        _arena.buf = buf
+    return buf
+
+
+def framed_compress_into(data: bytes, out_arr: np.ndarray, with_header: bool = True):
+    """Framed compress directly into a caller buffer; returns the total
+    written length, or None when the native library is unavailable.
+
+    Slabs compress in parallel into a staging arena at fixed worst-case
+    offsets, then move to their exact final offsets with parallel memcpy
+    (ctypes.memmove releases the GIL) — no per-call allocations beyond the
+    grow-only arena, no join."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    header = C.FRAMING_HEADER if with_header else b""
+    if out_arr.size < C.max_compressed_len_framed(n):
+        return None
+    pos = 0
+    if header:
+        out_arr[: len(header)] = np.frombuffer(header, np.uint8)
+        pos = len(header)
+    if n == 0:
+        return pos
+    buf = np.frombuffer(data, dtype=np.uint8)
+    spans = [(s, min(n, s + _SPAN)) for s in range(0, n, _SPAN)]
+    per_frame_cap = 8 + C.MAX_UNCOMPRESSED_FRAME_DATA_LEN
+    span_cap = _SPAN_BLOCKS * per_frame_cap
+    arena = _arena_buf(span_cap * len(spans))
+
+    def work(k: int) -> int:
+        lo, hi = spans[k]
+        return lib.stpu_encode_framed_slab(
+            buf.ctypes.data, lo, hi, arena.ctypes.data + k * span_cap
+        )
+
+    if len(spans) == 1:
+        lens = [work(0)]
+    else:
+        lens = list(_get_pool().map(work, range(len(spans))))
+
+    offsets = [pos]
+    for ln in lens:
+        offsets.append(offsets[-1] + ln)
+    total = offsets[-1]
+    if total > out_arr.size:
+        return None
+    out_ptr = out_arr.ctypes.data
+    arena_ptr = arena.ctypes.data
+
+    def move(k: int) -> None:
+        ctypes.memmove(out_ptr + offsets[k], arena_ptr + k * span_cap, lens[k])
+
+    if len(spans) == 1:
+        move(0)
+    else:
+        list(_get_pool().map(move, range(len(spans))))
+    return total
+
+
 def framed_uncompress_scanned(
     data: bytes,
     chunks,
