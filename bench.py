@@ -98,7 +98,6 @@ def bench_host(datasets):
 
         te = mean_time(encode_once)
 
-        body = enc[1 if len(data) < (1 << 7) else 0 :]  # keep whole stream
         out_buf = bytearray(len(data))
         res = s.uncompress_into(enc, out_buf)
         assert res.is_ok() and bytes(out_buf) == data

@@ -253,5 +253,25 @@ def uncompressed_len_framed(data: bytes):
     return framing.uncompressed_len_framed(data)
 
 
+# Deprecated aliases (the reference keeps equivalent deprecated seq-based
+# templates, snappy.nim:292-297).
+
+
+def compress(data: bytes) -> bytes:  # pragma: no cover - thin alias
+    """Deprecated alias of :func:`encode`."""
+    import warnings
+
+    warnings.warn("use snappy_tpu.encode", DeprecationWarning, stacklevel=2)
+    return encode(data)
+
+
+def uncompress(data: bytes) -> bytes:  # pragma: no cover - thin alias
+    """Deprecated alias of :func:`decode`."""
+    import warnings
+
+    warnings.warn("use snappy_tpu.decode", DeprecationWarning, stacklevel=2)
+    return decode(data)
+
+
 def is_framed_stream(data: bytes) -> bool:
     return framing.is_snappy_framed_stream(data)
