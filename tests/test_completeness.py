@@ -132,3 +132,19 @@ class TestGuards:
     def test_compress_framed_into_too_small(self):
         res = s.compress_framed_into(b"x" * 1000, bytearray(10))
         assert res.is_err() and res.error == s.FrameError.buffer_too_small
+
+    @pytest.mark.parametrize(
+        "n_frames", [1, 15, 16, 17, 33]
+    )  # straddles the 16-frame slab span
+    def test_compress_framed_into_matches_bytes_api(self, n_frames):
+        from snappy_tpu.ops import host_codec
+
+        if not host_codec.available():
+            pytest.skip("native host codec unavailable")
+        n = n_frames * C.MAX_BLOCK_LEN - 11
+        payload = (b"span boundary " * (n // 14 + 1))[:n]
+        ref = engine.framed_compress(payload, backend="host")
+        buf = bytearray(C.max_compressed_len_framed(n))
+        res = s.compress_framed_into(payload, buf)
+        assert res.is_ok()
+        assert bytes(buf[: res.unwrap()]) == ref
