@@ -288,16 +288,25 @@ def main():
         bench_big(datasets)
 
     if BENCH_DEVICE:
-        try:
-            if PROFILE_DIR:
-                import jax
+        # The device section runs in a killable subprocess: a wedged TPU
+        # tunnel must not be able to hang the benchmark (a stuck device
+        # call cannot be interrupted in-process).
+        import subprocess
 
-                with jax.profiler.trace(PROFILE_DIR):
-                    bench_device(datasets)
-                log(f"profiler trace written to {PROFILE_DIR}")
-            else:
-                bench_device(datasets)
-        except Exception as e:  # device path must not sink the benchmark
+        timeout = int(os.environ.get("SNAPPY_TPU_BENCH_DEVICE_TIMEOUT", "900"))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--device-only"],
+                timeout=timeout,
+                stderr=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+            )
+            sys.stderr.write(r.stderr.decode(errors="replace"))
+            if r.returncode != 0:
+                log(f"device bench exited with {r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"device bench timed out after {timeout}s (tunnel unhealthy?)")
+        except Exception as e:
             log(f"device bench failed: {type(e).__name__}: {e}")
 
     print(
@@ -312,5 +321,27 @@ def main():
     )
 
 
+def _device_only():
+    from snappy_tpu.testing import corpus
+
+    files = corpus.available_corpus()
+    datasets = (
+        {n: corpus.read_data(n) for n in files}
+        if files
+        else {"synthetic": b"ab" * (1 << 20)}
+    )
+    if PROFILE_DIR:
+        import jax
+
+        with jax.profiler.trace(PROFILE_DIR):
+            bench_device(datasets)
+        log(f"profiler trace written to {PROFILE_DIR}")
+    else:
+        bench_device(datasets)
+
+
 if __name__ == "__main__":
-    main()
+    if "--device-only" in sys.argv:
+        _device_only()
+    else:
+        main()
