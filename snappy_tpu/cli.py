@@ -23,6 +23,14 @@ def main(argv=None) -> int:
         "--raw", action="store_true", help="use the raw block format (no framing)"
     )
     p.add_argument("--no-crc", action="store_true", help="skip CRC verification")
+    p.add_argument(
+        "-l",
+        "--level",
+        type=int,
+        default=1,
+        choices=(1, 2),
+        help="compression level: 1 fast (default), 2 denser",
+    )
     p.add_argument("-o", "--output", default=None)
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("input")
@@ -46,7 +54,11 @@ def main(argv=None) -> int:
             args.input[:-3] if args.input.endswith(".sz") else args.input + ".out"
         )
     else:
-        out = api.encode(data) if args.raw else api.encode_framed(data)
+        out = (
+            api.encode(data, level=args.level)
+            if args.raw
+            else api.encode_framed(data, level=args.level)
+        )
         default_name = args.input + (".rawsz" if args.raw else ".sz")
     dt = time.perf_counter() - t0
 

@@ -87,7 +87,9 @@ def _split_blocks(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return blocks, blens
 
 
-def raw_compress(data: bytes, backend: Optional[str] = None) -> Optional[bytes]:
+def raw_compress(
+    data: bytes, backend: Optional[str] = None, level: int = 1
+) -> Optional[bytes]:
     """Raw-format compress: varint header + concatenated block tag streams
     (contract parity: snappy.nim:27-64).
 
@@ -100,7 +102,7 @@ def raw_compress(data: bytes, backend: Optional[str] = None) -> Optional[bytes]:
     from .ops import host_codec
 
     if (backend or config.resolve_backend()) == "host" and host_codec.available():
-        return host_codec.raw_compress(data)
+        return host_codec.raw_compress(data, level)
     n = len(data)
     if n > C.MAX_UNCOMPRESSED_LEN:
         return None
@@ -168,7 +170,10 @@ def raw_uncompress(
 
 
 def framed_compress(
-    data: bytes, with_header: bool = True, backend: Optional[str] = None
+    data: bytes,
+    with_header: bool = True,
+    backend: Optional[str] = None,
+    level: int = 1,
 ) -> Optional[bytes]:
     """Framed-format compress (contract parity: snappy.nim:130-155 and
     encoder.nim:385-426): per-64 KiB frame, masked CRC + compressed payload
@@ -177,7 +182,7 @@ def framed_compress(
     from .ops import host_codec
 
     if (backend or config.resolve_backend()) == "host" and host_codec.available():
-        return host_codec.framed_compress(data, with_header)
+        return host_codec.framed_compress(data, with_header, level)
     n = len(data)
     parts: List[bytes] = [C.FRAMING_HEADER] if with_header else []
     if n == 0:

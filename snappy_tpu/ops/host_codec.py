@@ -91,6 +91,21 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_size_t,
             ctypes.c_void_p,
         ]
+        lib.stpu_encode_span_level.restype = ctypes.c_size_t
+        lib.stpu_encode_span_level.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        lib.stpu_encode_framed_slab_level.restype = ctypes.c_size_t
+        lib.stpu_encode_framed_slab_level.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
         lib.stpu_decode_tags.restype = ctypes.c_int
         lib.stpu_decode_tags.argtypes = [
             ctypes.c_void_p,
@@ -148,8 +163,11 @@ _SPAN_BLOCKS = 16
 _SPAN = _SPAN_BLOCKS * C.MAX_BLOCK_LEN
 
 
-def raw_compress(data: bytes) -> Optional[bytes]:
-    """Raw-format compress on host cores (varint + block tag streams)."""
+def raw_compress(data: bytes, level: int = 1) -> Optional[bytes]:
+    """Raw-format compress on host cores (varint + block tag streams).
+
+    ``level`` 1 = reference-parity greedy (fastest); 2 = two-way candidate
+    buckets, ~0.5-2% denser at ~10-15% lower throughput."""
     lib = get_lib()
     if lib is None:
         return None
@@ -169,8 +187,8 @@ def raw_compress(data: bytes) -> Optional[bytes]:
             (m + C.MAX_BLOCK_LEN - 1) // C.MAX_BLOCK_LEN
         )
         out = _scratch_buf(cap)
-        written = lib.stpu_encode_span(
-            buf[lo:hi].ctypes.data, m, out.ctypes.data
+        written = lib.stpu_encode_span_level(
+            buf[lo:hi].ctypes.data, m, out.ctypes.data, level
         )
         return out[:written].tobytes()
 
@@ -249,7 +267,9 @@ def raw_uncompress(data: bytes, max_size: int) -> Tuple[Optional[bytes], str]:
     return out, "ok"
 
 
-def framed_compress(data: bytes, with_header: bool = True) -> Optional[bytes]:
+def framed_compress(
+    data: bytes, with_header: bool = True, level: int = 1
+) -> Optional[bytes]:
     """Framed-format compress on host cores: per-64 KiB frame, masked CRC +
     compressed payload if it saves >= 1/8, else verbatim (the same contract
     as the device pipeline; encoder.nim:385-426).
@@ -274,8 +294,8 @@ def framed_compress(data: bytes, with_header: bool = True) -> Optional[bytes]:
         lo, hi = span
         frames = (hi - lo + C.MAX_BLOCK_LEN - 1) // C.MAX_BLOCK_LEN
         out = _scratch_buf(frames * per_frame_cap)
-        written = lib.stpu_encode_framed_slab(
-            buf.ctypes.data, lo, hi, out.ctypes.data
+        written = lib.stpu_encode_framed_slab_level(
+            buf.ctypes.data, lo, hi, out.ctypes.data, level
         )
         return out[:written].tobytes()
 
@@ -297,7 +317,9 @@ def _arena_buf(size: int) -> np.ndarray:
     return buf
 
 
-def framed_compress_into(data: bytes, out_arr: np.ndarray, with_header: bool = True):
+def framed_compress_into(
+    data: bytes, out_arr: np.ndarray, with_header: bool = True, level: int = 1
+):
     """Framed compress directly into a caller buffer; returns the total
     written length, or None when the native library is unavailable.
 
@@ -326,8 +348,8 @@ def framed_compress_into(data: bytes, out_arr: np.ndarray, with_header: bool = T
 
     def work(k: int) -> int:
         lo, hi = spans[k]
-        return lib.stpu_encode_framed_slab(
-            buf.ctypes.data, lo, hi, arena.ctypes.data + k * span_cap
+        return lib.stpu_encode_framed_slab_level(
+            buf.ctypes.data, lo, hi, arena.ctypes.data + k * span_cap, level
         )
 
     if len(spans) == 1:

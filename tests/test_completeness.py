@@ -133,6 +133,24 @@ class TestGuards:
         res = s.compress_framed_into(b"x" * 1000, bytearray(10))
         assert res.is_err() and res.error == s.FrameError.buffer_too_small
 
+    def test_compression_levels(self):
+        """level 2 is never larger on compressible data and round-trips
+        everywhere (host backend feature beyond the reference)."""
+        from snappy_tpu.ops import host_codec
+        from snappy_tpu.testing import corpus as corp, oracle
+
+        if not host_codec.available():
+            pytest.skip("native host codec unavailable")
+        data = corp.read_data("alice29.txt") or (b"level test data " * 5000)
+        e1 = s.encode(data)
+        e2 = s.encode(data, level=2)
+        assert len(e2) <= len(e1)
+        assert s.decode(e1) == data and s.decode(e2) == data
+        dec, err = oracle.uncompress(e2)
+        assert err is None and dec == data
+        f2 = s.encode_framed(data, level=2)
+        assert s.decode_framed(f2) == data
+
     @pytest.mark.parametrize(
         "n_frames", [1, 15, 16, 17, 33]
     )  # straddles the 16-frame slab span
