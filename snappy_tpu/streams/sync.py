@@ -35,7 +35,11 @@ _DEFAULT_BATCH = 64  # frames per device round-trip (4 MiB of payload)
 
 
 def compress(
-    src: BinaryIO, src_len: int, dst: BinaryIO, batch_frames: int = _DEFAULT_BATCH
+    src: BinaryIO,
+    src_len: int,
+    dst: BinaryIO,
+    batch_frames: int = _DEFAULT_BATCH,
+    level: int = 1,
 ) -> int:
     """Raw-format compress from ``src`` (exactly ``src_len`` bytes) to
     ``dst``; returns bytes written.
@@ -58,7 +62,7 @@ def compress(
             )
         # Encode this span's blocks in one device batch; strip the varint
         # the engine prepends for its own span.
-        enc = engine.raw_compress(buf)
+        enc = engine.raw_compress(buf, level=level)
         span_header, read = varint.decode_uint64(enc)
         assert span_header == len(buf)
         dst.write(enc[read:])
@@ -68,7 +72,10 @@ def compress(
 
 
 def compress_framed(
-    src: BinaryIO, dst: BinaryIO, batch_frames: int = _DEFAULT_BATCH
+    src: BinaryIO,
+    dst: BinaryIO,
+    batch_frames: int = _DEFAULT_BATCH,
+    level: int = 1,
 ) -> int:
     """Framed-format compress of an arbitrary-length stream
     (faststreams.nim:64-83); returns bytes written."""
@@ -78,7 +85,7 @@ def compress_framed(
         buf = src.read(C.MAX_UNCOMPRESSED_FRAME_DATA_LEN * batch_frames)
         if not buf:
             break
-        enc = engine.framed_compress(buf, with_header=False)
+        enc = engine.framed_compress(buf, with_header=False, level=level)
         dst.write(enc)
         written += len(enc)
     return written
