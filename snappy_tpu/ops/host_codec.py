@@ -158,8 +158,9 @@ def _get_pool() -> ThreadPoolExecutor:
     return _pool
 
 
-# Span size per task: 16 blocks = 1 MiB keeps per-task overhead negligible.
-_SPAN_BLOCKS = 16
+# Span size per task: 32 blocks = 2 MiB (measured best on 4 cores;
+# smaller spans lose to per-task overhead, larger ones to tail imbalance).
+_SPAN_BLOCKS = 32
 _SPAN = _SPAN_BLOCKS * C.MAX_BLOCK_LEN
 
 
