@@ -309,10 +309,11 @@ _arena = threading.local()
 
 
 def _arena_buf(size: int) -> np.ndarray:
-    """Grow-only arena for whole-payload staging (distinct from the
-    per-thread span scratch)."""
+    """Payload-scale staging arena: grows to fit, shrinks again when a
+    request is under a quarter of the retained size (so one 1 GiB call
+    doesn't pin 1 GiB for the process lifetime)."""
     buf = getattr(_arena, "buf", None)
-    if buf is None or buf.size < size:
+    if buf is None or buf.size < size or buf.size > 4 * size:
         buf = np.empty((size,), dtype=np.uint8)
         _arena.buf = buf
     return buf
