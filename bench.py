@@ -265,6 +265,16 @@ def bench_device(datasets):
         f"device crc32c {n_crc}x64KiB: {1e3*crc_t:.2f} ms "
         f"({n_crc*65536/crc_t/1e9:.2f} GB/s)"
     )
+    from snappy_tpu.ops import crc32c_pallas
+
+    if crc32c_pallas.available():
+        crc_t = pipelined_time(
+            lambda: crc32c_pallas.masked_crc32c_chunks(dch, dln, 65536), samples=8
+        )
+        log(
+            f"device crc32c (pallas kernel): {1e3*crc_t:.2f} ms "
+            f"({n_crc*65536/crc_t/1e9:.2f} GB/s)"
+        )
 
 
 def main():

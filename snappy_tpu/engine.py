@@ -21,7 +21,7 @@ import numpy as np
 
 from .formats import constants as C
 from .formats import framing, varint
-from .ops import crc32c_pallas, decode_jax, encode_jax
+from .ops import crc32c_jax, decode_jax, encode_jax
 
 _BLOCK = C.MAX_BLOCK_LEN  # 65536
 # Per-block compressed budget: worst case max_compressed_len(65536)=76490,
@@ -56,9 +56,7 @@ def _decode_chunks_u8(comp_u8, comp_lens, out_lens, u_pad: int):
     out, ok, written = decode_jax.decode_chunks(
         comp_u8.astype(jnp.int32), comp_lens, out_lens, u_pad
     )
-    crcs = crc32c_pallas.masked_crc32c_chunks(
-        out.astype(jnp.int32), out_lens, u_pad
-    )
+    crcs = crc32c_jax.masked_crc32c_chunks(out.astype(jnp.int32), out_lens, u_pad)
     return out, ok, written, crcs
 
 
@@ -67,7 +65,7 @@ def _encode_frames_u8(frames_u8, flens, max_comp: int):
     """Framed-pipeline device step: per-frame masked CRC32C of the payload
     plus an attempted block compression (encoder.nim:385-426)."""
     frames_i32 = frames_u8.astype(jnp.int32)
-    crcs = crc32c_pallas.masked_crc32c_chunks(frames_i32, flens, frames_u8.shape[1])
+    crcs = crc32c_jax.masked_crc32c_chunks(frames_i32, flens, frames_u8.shape[1])
     enc, totals = encode_jax.encode_blocks(frames_i32, flens, max_comp)
     return crcs, enc, totals
 

@@ -10,6 +10,13 @@ natively.  No gathers, no strided lane ops.
 
 Only the zero-pad cancellation and snappy masking stay outside (scalar per
 chunk, negligible).  Falls back transparently off-TPU.
+
+Standalone op, not wired into the engine pipelines: fusing this kernel into
+the decode_chunks jit graph made the remote Mosaic compile pathological
+(20+ minutes), while standalone it compiles in ~1 minute and runs at parity
+with the XLA bit-serial path (~1 GB/s on a tunneled v5e; per-iteration loop
+overhead dominates both).  Callers who want the VMEM-resident kernel use
+this module directly.
 """
 
 from __future__ import annotations
