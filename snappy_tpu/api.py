@@ -107,7 +107,10 @@ def uncompress_into(data: bytes, out: Union[bytearray, memoryview]) -> Result[in
         out_arr = np.frombuffer(out, dtype=np.uint8)
         if out_arr.flags.writeable:
             data_b = bytes(data)
-            _, read = varint.decode_uint64(data_b)
+            # Decode-path varint rule: uint32, 5-byte limit (snappy.nim:92).
+            decl32, read = varint.decode_uint32(data_b)
+            if decl32 is None:
+                return Err(CodecError.invalid_input)
             ok = host_codec.decode_tags_into(data_b[read:], declared, out_arr)
             if not ok:
                 return Err(CodecError.invalid_input)
@@ -204,20 +207,55 @@ def uncompress_framed_into(
             return Err(FrameError.invalid_input)
         read = len(C.FRAMING_HEADER)
 
-    chunks = framing.scan_frames(data, read)
-    if chunks is None:
-        return Err(_FRAME_REASONS[engine._scan_failure_reason(data, read)])
-
-    # Greedy prefix of chunks that fits the output budget.
+    # Sequential chunk walk, exactly as the reference (snappy.nim:199-265):
+    # chunks are validated one at a time and scanning STOPS at the first
+    # chunk that does not fit the output budget — a malformed chunk beyond
+    # the resume point is never inspected, so callers streaming partial
+    # input windows get Ok((read, written)) for the valid fitting prefix
+    # rather than a hard error.
+    n = len(data)
     budget = len(out)
     taken = []
     written_plan = 0
-    for ch in chunks:
-        if ch.uncompressed_len > budget - written_plan:
-            break
-        taken.append(ch)
-        written_plan += ch.uncompressed_len
-        read = ch.header_pos + 4 + ch.data_len
+    while n - read > 0:
+        if n - read < 4:
+            return Err(FrameError.invalid_input)
+        cid, data_len = framing.decode_frame_header(data[read : read + 4])
+        if n - read - 4 < data_len:
+            return Err(FrameError.invalid_input)
+        data_pos = read + 4
+        if cid == C.CHUNK_COMPRESSED:
+            if data_len < 4:
+                return Err(FrameError.invalid_input)
+            inner = framing.uncompressed_len(data[data_pos + 4 : data_pos + data_len])
+            if inner is None or inner > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
+                return Err(FrameError.invalid_input)
+            if inner > budget - written_plan:
+                break  # resume point: this chunk's header offset
+        elif cid == C.CHUNK_UNCOMPRESSED:
+            if data_len < 4:
+                return Err(FrameError.invalid_input)
+            inner = data_len - 4
+            if inner > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
+                return Err(FrameError.invalid_input)
+            if inner > budget - written_plan:
+                # The reference verifies this chunk's CRC *before* noticing
+                # it does not fit (snappy.nim:244-251).
+                if check_integrity:
+                    from .ops import crc32c_native
+
+                    stored = int.from_bytes(data[data_pos : data_pos + 4], "little")
+                    payload = data[data_pos + 4 : data_pos + data_len]
+                    if crc32c_native.masked_crc32c(payload) != stored:
+                        return Err(FrameError.crc_mismatch)
+                break
+        elif cid < C.CHUNK_RESERVED_SKIPPABLE_LO:
+            return Err(FrameError.unknown_chunk)
+        else:
+            inner = 0  # skippable chunk (incl. 0xff stream header): consume
+        taken.append(framing.ChunkInfo(cid, read, data_pos, data_len, inner))
+        written_plan += inner
+        read += 4 + data_len
 
     if taken:
         from . import config

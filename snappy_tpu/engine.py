@@ -139,11 +139,16 @@ def raw_uncompress(
 
     if (backend or config.resolve_backend()) == "host" and host_codec.available():
         return host_codec.raw_uncompress(data, max_size)
-    declared, read = varint.decode_uint64(data)
-    if declared is None or declared > C.MAX_UNCOMPRESSED_LEN:
+    # Sizing scan accepts uint64 varints (codec.nim:129-138); the decode
+    # itself enforces the stricter 5-byte uint32 rule (snappy.nim:92).
+    declared64, _ = varint.decode_uint64(data)
+    if declared64 is None or declared64 > C.MAX_UNCOMPRESSED_LEN:
         return None, "invalid"
-    if declared > max_size:
+    if declared64 > max_size:
         return None, "too_large"
+    declared, read = varint.decode_uint32(data)
+    if declared is None:
+        return None, "invalid"
     body = np.frombuffer(data, dtype=np.uint8)[read:]
     if declared == 0:
         return (b"", "ok") if len(body) == 0 else (None, "invalid")
@@ -204,9 +209,11 @@ def framed_compress(
         flen = int(flens[k])
         crc_bytes = int(crcs[k]).to_bytes(4, "little")
         blob = varint.encode_uint32(flen) + enc[k, : totals[k]].tobytes()
-        # Keep the compressed form only if it saves >= 1/8 of the frame and
-        # the frame was big enough to try (encoder.nim:401-426).
-        if flen >= C.MIN_NON_LITERAL_BLOCK_SIZE and len(blob) <= flen - flen // 8:
+        # Keep the compressed form only if the encoded block alone (the
+        # varint header excluded, exactly as the reference compares
+        # blockLen at encoder.nim:408) saves >= 1/8 of the frame, and the
+        # frame was big enough to try (encoder.nim:401-426).
+        if flen >= C.MIN_NON_LITERAL_BLOCK_SIZE and int(totals[k]) <= flen - flen // 8:
             parts.append(
                 framing.encode_frame_header(C.CHUNK_COMPRESSED, 4 + len(blob))
             )
@@ -271,7 +278,7 @@ def framed_uncompress_chunks(
                 data[ch.data_pos : ch.data_pos + 4], "little"
             )
             payload = arr[ch.data_pos + 4 : ch.data_pos + ch.data_len]
-            declared, read = varint.decode_uint64(payload)
+            declared, read = varint.decode_uint32(payload)
             if declared is None or declared > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
                 return None, "invalid"
             comp_jobs.append((ci, payload[read:], int(declared), stored))

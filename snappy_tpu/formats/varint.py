@@ -26,6 +26,32 @@ def encode_uint32(value: int) -> bytes:
             return bytes(out)
 
 
+def decode_uint32(data) -> Tuple[Optional[int], int]:
+    """Decode a LEB128 varint as uint32 from the head of ``data``.
+
+    This is the *decode-path* rule: the reference's ``uncompress`` reads the
+    length prefix as ``uint32.fromBytes(input, Leb128)``
+    (/root/reference/snappy.nim:92), which rejects encodings longer than 5
+    bytes and values above 2^32-1 — stricter than the 10-byte uint64 scanner
+    ``uncompressedLen`` (codec.nim:129-138) used only for sizing.  All actual
+    decoding (raw body, framed inner varints) must use this rule so accept /
+    reject decisions are identical across host, device, and oracle backends.
+
+    Returns ``(value, bytes_read)`` or ``(None, 0)``.
+    """
+    value = 0
+    shift = 0
+    for i in range(min(len(data), 5)):
+        b = int(data[i])
+        value |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            if value >> 32:
+                return None, 0  # overflows uint32
+            return value, i + 1
+        shift += 7
+    return None, 0  # truncated, or longer than the 5-byte uint32 limit
+
+
 def decode_uint64(data, max_bytes: int = 10) -> Tuple[Optional[int], int]:
     """Decode a LEB128 varint as uint64 from the head of ``data``.
 

@@ -254,11 +254,16 @@ def raw_uncompress(data: bytes, max_size: int) -> Tuple[Optional[bytes], str]:
     lib = get_lib()
     if lib is None:
         return None, "invalid"
-    declared, read = varint.decode_uint64(data)
-    if declared is None or declared > C.MAX_UNCOMPRESSED_LEN:
+    # Sizing accepts uint64 varints; decoding enforces the 5-byte uint32
+    # rule (snappy.nim:92) so host/device accept identically.
+    declared64, _ = varint.decode_uint64(data)
+    if declared64 is None or declared64 > C.MAX_UNCOMPRESSED_LEN:
         return None, "invalid"
-    if declared > max_size:
+    if declared64 > max_size:
         return None, "too_large"
+    declared, read = varint.decode_uint32(data)
+    if declared is None:
+        return None, "invalid"
     body_b = data[read:]
     if declared == 0:
         return (b"", "ok") if len(body_b) == 0 else (None, "invalid")
@@ -423,8 +428,8 @@ def framed_uncompress_scanned(
             stored = int.from_bytes(data[ch.data_pos : ch.data_pos + 4], "little")
             payload_off = ch.data_pos + 4
             payload_len = ch.data_len - 4
-            declared, read = varint.decode_uint64(
-                buf[payload_off : payload_off + min(8, payload_len)]
+            declared, read = varint.decode_uint32(
+                buf[payload_off : payload_off + min(5, payload_len)]
             )
             if declared is None or declared > C_.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
                 return None, "invalid"

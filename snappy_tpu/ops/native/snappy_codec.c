@@ -481,13 +481,17 @@ size_t stpu_encode_framed_slab_level(const uint8_t* in, size_t lo, size_t hi,
     uint8_t* blob = scratch;
     uint8_t* bp = put_varint(blob, flen);
     uint32_t blob_len = 0;
+    int tried = 0;
+    uint32_t enc_len = 0;
     if (flen >= MIN_NON_LITERAL_FRAME) {
-      uint32_t enc_len =
-          (level >= 2) ? stpu_encode_block_l2(in + fs, flen, bp, table)
-                       : stpu_encode_block(in + fs, flen, bp, table);
+      enc_len = (level >= 2) ? stpu_encode_block_l2(in + fs, flen, bp, table)
+                             : stpu_encode_block(in + fs, flen, bp, table);
       blob_len = (uint32_t)(bp - blob) + enc_len;
+      tried = 1;
     }
-    if (blob_len > 0 && blob_len <= flen - flen / 8) {
+    /* Keep-compressed threshold on the encoded block alone, the varint
+     * header excluded — the reference compares blockLen (encoder.nim:408). */
+    if (tried && enc_len <= flen - flen / 8) {
       uint32_t data_len = 4 + blob_len;
       *op++ = CHUNK_COMPRESSED;
       *op++ = (uint8_t)(data_len & 0xFF);
@@ -545,15 +549,4 @@ int stpu_decode_framed_slab(const uint8_t* stream, const uint8_t* kinds,
   return 0;
 }
 
-/* Scan a raw tag stream without moving data, locating the input offset
- * where each 64 KiB *output* block begins.  Block-based encoders (ours,
- * the reference, google/snappy) never let a tag or a copy source cross a
- * 64 KiB output boundary, which makes those blocks independently
- * decodable — the scan proves it for this particular stream.
- *
- * Returns the number of blocks found (in_offs[k] = input offset of output
- * byte k*65536), or -1 when the stream is malformed / total mismatches
- * out_len, or -2 when the stream is valid-looking but NOT block-parallel
- * (some tag or copy crosses a boundary) — callers fall back to the
- * sequential decoder, which is authoritative either way. */
 int stpu_using_native(void) { return 1; }

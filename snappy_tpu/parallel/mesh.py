@@ -171,7 +171,9 @@ def sharded_framed_compress(data: bytes, mesh: Optional[Mesh] = None) -> bytes:
         flen = int(flens[k])
         crc_bytes = int(crcs[k]).to_bytes(4, "little")
         blob = varint.encode_uint32(flen) + enc[k, : totals[k]].tobytes()
-        if flen >= C.MIN_NON_LITERAL_BLOCK_SIZE and len(blob) <= flen - flen // 8:
+        # Threshold on the encoded block alone, varint header excluded
+        # (encoder.nim:408).
+        if flen >= C.MIN_NON_LITERAL_BLOCK_SIZE and int(totals[k]) <= flen - flen // 8:
             parts.append(framing.encode_frame_header(C.CHUNK_COMPRESSED, 4 + len(blob)))
             parts.append(crc_bytes)
             parts.append(blob)
@@ -201,7 +203,7 @@ def sharded_framed_uncompress(
         if ch.id == C.CHUNK_COMPRESSED:
             stored = int.from_bytes(data[ch.data_pos : ch.data_pos + 4], "little")
             payload = data[ch.data_pos + 4 : ch.data_pos + ch.data_len]
-            declared, read = varint.decode_uint64(payload)
+            declared, read = varint.decode_uint32(payload)
             if declared is None or declared > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
                 return None, "invalid"
             jobs.append((ci, payload[read:], int(declared), stored))

@@ -73,18 +73,22 @@ def compress_framed_span(
     Every participating process calls this with its own span (spans must be
     64 KiB multiples except the last host's).  Returns
     ``(blob, global_offset, total_len)``: writing each host's ``blob`` at
-    ``global_offset`` (plus the 10-byte stream header up front) yields one
-    valid framed stream equal to compressing the concatenated payload.
+    ``global_offset`` yields one valid framed stream equal to compressing
+    the concatenated payload.  With ``with_header=True`` process 0's blob
+    includes the 10-byte stream header; with ``with_header=False`` every
+    offset leaves room for the header, which the caller writes at offset 0.
     """
     import jax
 
     blob = engine.framed_compress(local_data, with_header=False, backend=backend)
     lens = _allgather_lengths(len(blob))
     pid = jax.process_index()
-    header = len(C.FRAMING_HEADER) if not with_header else 0
     offset = int(lens[:pid].sum()) + len(C.FRAMING_HEADER)
     total = int(lens.sum()) + len(C.FRAMING_HEADER)
-    del header
+    if with_header:
+        if pid == 0:
+            blob = C.FRAMING_HEADER + blob
+            offset = 0
     return blob, offset, total
 
 

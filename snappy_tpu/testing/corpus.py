@@ -40,10 +40,12 @@ CORPUS_FILES = [
 
 BAD_FILES = ["baddata1.snappy", "baddata2.snappy", "baddata3.snappy"]
 
-# Pre-compressed framed streams: (compressed, plaintext) pairs.
+# Pre-compressed framed streams: (compressed, plaintext) pairs
+# (test_framed.nim:117-119 decodes all three).
 STREAM_FILES = [
     ("alice29.txt.sz-32k", "alice29.txt"),
     ("alice29.txt.sz-64k", "alice29.txt"),
+    ("house.jpg.sz", "house.jpg"),
 ]
 
 GOLDEN_RAWSNAPPY = "Mark.Twain-Tom.Sawyer.txt.rawsnappy"

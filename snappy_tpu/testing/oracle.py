@@ -254,8 +254,9 @@ def decode_all_tags(
 def uncompress(data: bytes) -> Tuple[Optional[bytes], Optional[CodecError]]:
     """Raw-format uncompress: varint header, decode, written==header check
     (snappy.nim:84-110)."""
-    value, read = varint.decode_uint64(data)
-    if read <= 0 or value > C.MAX_UNCOMPRESSED_LEN:
+    # Decode-path varint rule: uint32, 5-byte limit (snappy.nim:92).
+    value, read = varint.decode_uint32(data)
+    if read <= 0 or value is None:
         return None, CodecError.invalid_input
     out, err = decode_all_tags(data[read:], value)
     if err is not None:

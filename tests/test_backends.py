@@ -105,3 +105,52 @@ class TestFramedEquivalence:
             bytes(enc), check_integrity=False, backend="host"
         )
         assert reason == "ok" and out == payload
+
+
+class TestVarintStrictness:
+    """Backend-independent accept/reject for non-canonical varints: all
+    decode paths enforce the reference's 5-byte uint32 limit
+    (snappy.nim:92), regardless of backend (ADVICE round-1, item 2)."""
+
+    def _overlong_raw(self):
+        # 6-byte varint encoding 100 (non-canonical zero continuation).
+        import snappy_tpu as s
+
+        body = s.encode(b"x" * 100)  # canonical: 1-byte varint '100'
+        assert body[0] == 100
+        return b"\xe4\x80\x80\x80\x80\x00" + body[1:]
+
+    def test_overlong_raw_varint_rejected_everywhere(self):
+        import snappy_tpu as s
+        from snappy_tpu import engine
+        from snappy_tpu.testing import oracle
+
+        bad = self._overlong_raw()
+        for backend in ("host", "device"):
+            got, reason = engine.raw_uncompress(bad, backend=backend)
+            assert got is None, backend
+        assert s.decode(bad) == b""
+        ref, err = oracle.uncompress(bad)
+        assert ref is None
+        res = s.uncompress_into(bad, bytearray(200))
+        assert res.is_err()
+
+    def test_overlong_framed_inner_varint_rejected_everywhere(self):
+        import snappy_tpu as s
+        from snappy_tpu.formats import constants as C2
+        from snappy_tpu.formats import framing as fr
+        from snappy_tpu.ops import crc32c_native
+        from snappy_tpu import engine
+
+        blob = self._overlong_raw()
+        crc = crc32c_native.masked_crc32c(b"x" * 100).to_bytes(4, "little")
+        stream = (
+            C2.FRAMING_HEADER
+            + fr.encode_frame_header(C2.CHUNK_COMPRESSED, 4 + len(blob))
+            + crc
+            + blob
+        )
+        for backend in ("host", "device"):
+            got, reason = engine.framed_uncompress(stream, backend=backend)
+            assert got is None, f"{backend} accepted overlong varint"
+        assert s.decode_framed(stream) == b""

@@ -9,6 +9,8 @@ libFuzzer harnesses (tests/fuzzing/):
   kernel and oracle or decode to identical bytes.
 """
 
+import os
+
 import pytest
 
 hypothesis = pytest.importorskip("hypothesis")
@@ -20,8 +22,11 @@ from snappy_tpu.testing import oracle  # noqa: E402
 
 from test_kernels import jax_decode_tagstream  # noqa: E402
 
+# Env-scaled budget: the reference fuzzes open-endedly under libFuzzer;
+# CI keeps the default small, `SNAPPY_TPU_FUZZ_EXAMPLES=3000 pytest` runs a
+# long fuzz session.
 _SETTINGS = dict(
-    max_examples=30,
+    max_examples=int(os.environ.get("SNAPPY_TPU_FUZZ_EXAMPLES", "30")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )

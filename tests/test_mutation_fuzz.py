@@ -5,6 +5,7 @@ mutations of *valid* streams: every mutant must produce the same
 accept/reject decision — and identical bytes when accepted — across the
 host C decoder, the device kernel decoder, and the scalar oracle."""
 
+import os
 import random
 
 import pytest
@@ -13,6 +14,8 @@ import snappy_tpu as s
 from snappy_tpu import engine
 from snappy_tpu.ops import host_codec
 from snappy_tpu.testing import oracle
+
+_SCALE = max(1, int(os.environ.get("SNAPPY_TPU_FUZZ_EXAMPLES", "30")) // 30)
 
 
 def _payload(rng, n):
@@ -44,7 +47,7 @@ def _mutate(rng, data: bytes) -> bytes:
 class TestRawMutationDifferential:
     def test_mutants_agree(self):
         rng = random.Random(2024)
-        for trial in range(150):
+        for trial in range(150 * _SCALE):
             payload = _payload(rng, rng.randrange(30, 600))
             enc = s.encode(payload)
             mutant = _mutate(rng, enc)
@@ -63,7 +66,7 @@ class TestRawMutationDifferential:
 class TestFramedMutationDifferential:
     def test_mutants_agree(self):
         rng = random.Random(77)
-        for trial in range(60):
+        for trial in range(60 * _SCALE):
             payload = _payload(rng, rng.randrange(100, 3000))
             enc = s.encode_framed(payload)
             mutant = _mutate(rng, enc)
