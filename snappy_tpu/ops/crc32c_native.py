@@ -38,15 +38,19 @@ def _build() -> Optional[ctypes.CDLL]:
     if _build_failed:
         return None
     try:
+        from . import host_codec
+
+        san = host_codec.sanitize_flags()
         src = _SRC.read_bytes()
-        tag = hashlib.sha256(src).hexdigest()[:16]
-        so_path = _cache_dir() / f"crc32c_{tag}.so"
+        tag = hashlib.sha256(src + repr(san).encode()).hexdigest()[:16]
+        suffix = "_san" if san else ""
+        so_path = _cache_dir() / f"crc32c_{tag}{suffix}.so"
         if not so_path.exists():
             cc = os.environ.get("CC", "cc")
             with tempfile.TemporaryDirectory() as td:
                 tmp_so = Path(td) / "crc32c.so"
                 subprocess.run(
-                    [cc, "-O3", "-march=native", "-shared", "-fPIC", str(_SRC), "-o", str(tmp_so)],
+                    [cc, "-O3", "-march=native", "-shared", "-fPIC", *san, str(_SRC), "-o", str(tmp_so)],
                     check=True,
                     capture_output=True,
                 )

@@ -79,9 +79,15 @@ def _kernel_factory(lanes: int, n_levels: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _lane_fold_pallas(words: jnp.ndarray, lanes: int) -> jnp.ndarray:
-    """words: [N, lanes] uint32 -> folded zero-init register per chunk [N]."""
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _lane_fold_pallas(
+    words: jnp.ndarray, lanes: int, interpret: bool = False
+) -> jnp.ndarray:
+    """words: [N, lanes] uint32 -> folded zero-init register per chunk [N].
+
+    ``interpret=True`` runs the kernel body through the Pallas interpreter —
+    how the CPU test suite pins the kernel's semantics without TPU hardware.
+    """
     n = words.shape[0]
     mats = np.stack([m.astype(np.uint32) for m in _fold_matrices(lanes)])
     out = pl.pallas_call(
@@ -97,6 +103,7 @@ def _lane_fold_pallas(words: jnp.ndarray, lanes: int) -> jnp.ndarray:
             (_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, 128), jnp.uint32),
+        interpret=interpret,
     )(jnp.asarray(mats), words)
     return out[:, 0]
 
@@ -110,13 +117,13 @@ def available() -> bool:
     return plat in ("tpu", "axon") or "TPU" in dev
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _pallas_path(chunks, lengths, padded_len: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _pallas_path(chunks, lengths, padded_len: int, interpret: bool = False):
     n = chunks.shape[0]
     lanes = padded_len // 4
     b = chunks.astype(jnp.uint32).reshape(n, lanes, 4)
     words = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
-    reg = _lane_fold_pallas(words, lanes)
+    reg = _lane_fold_pallas(words, lanes, interpret)
     reg = reg ^ jnp.uint32(crc32c_jax._init_term(padded_len))
     # Cancel the zero tail, invert, mask (same as the XLA path).
     _, inv = crc32c_jax._shift_matrices()

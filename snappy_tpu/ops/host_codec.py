@@ -56,14 +56,31 @@ def _cache_dir() -> Path:
     return d
 
 
+def sanitize_flags() -> List[str]:
+    """ASan+UBSan build flags when SNAPPY_TPU_SANITIZE is set.
+
+    Parity with the reference, which compiles every Linux test build with
+    UBSan (/root/reference/snappy.nimble:21-28); we add ASan on top because
+    the fast-region decoder and 16-byte burst copies are exactly the code
+    paths where an out-of-bounds write would otherwise go unnoticed.  Run
+    the suites via tools/sanitize_tests.sh (ctypes-loaded ASan needs
+    LD_PRELOAD of libasan before the interpreter starts).
+    """
+    if not os.environ.get("SNAPPY_TPU_SANITIZE"):
+        return []
+    return ["-fsanitize=address,undefined", "-fno-sanitize-recover=all", "-g"]
+
+
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
     if _build_failed:
         return None
     try:
+        san = sanitize_flags()
         src = _SRC.read_bytes() + _SRC_CRC.read_bytes()
-        tag = hashlib.sha256(src).hexdigest()[:16]
-        so_path = _cache_dir() / f"snappy_codec_{tag}.so"
+        tag = hashlib.sha256(src + repr(san).encode()).hexdigest()[:16]
+        suffix = "_san" if san else ""
+        so_path = _cache_dir() / f"snappy_codec_{tag}{suffix}.so"
         if not so_path.exists():
             cc = os.environ.get("CC", "cc")
             with tempfile.TemporaryDirectory() as td:
@@ -75,6 +92,7 @@ def _build() -> Optional[ctypes.CDLL]:
                         "-march=native",
                         "-shared",
                         "-fPIC",
+                        *san,
                         str(_SRC),
                         str(_SRC_CRC),
                         "-o",
