@@ -22,6 +22,32 @@ from __future__ import annotations
 import os
 
 _VALID = ("auto", "device", "host")
+
+
+def ensure_compilation_cache() -> None:
+    """Point JAX at a persistent compilation cache (opt out with
+    SNAPPY_TPU_NO_COMPILE_CACHE=1).
+
+    The scalar-core Pallas kernels take minutes to compile on remote-compile
+    TPU environments; the on-disk cache makes that a one-time cost per
+    kernel shape.  No-op if the user already configured a cache dir.
+    """
+    if os.environ.get("SNAPPY_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(
+                    os.environ.get("XDG_CACHE_HOME")
+                    or os.path.join(os.path.expanduser("~"), ".cache"),
+                    "jax_compilation",
+                ),
+            )
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 _backend = os.environ.get("SNAPPY_TPU_BACKEND", "auto")
 if _backend not in _VALID:
     _backend = "auto"

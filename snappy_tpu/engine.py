@@ -35,6 +35,88 @@ def _bucket(n: int, lo: int = 4096) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _use_scalar_kernels() -> bool:
+    """Production device path: the scalar-core Pallas kernels (see
+    ops/decode_scalar.py for the measured rationale).  SNAPPY_TPU_DEVICE_KERNEL
+    =xla falls back to the array-parallel XLA kernels (also the fallback off
+    real TPU hardware, where Mosaic cannot compile)."""
+    import os
+
+    if os.environ.get("SNAPPY_TPU_DEVICE_KERNEL", "scalar") != "scalar":
+        return False
+    from .ops import decode_scalar
+
+    return decode_scalar.available()
+
+
+def _nb_slab(n: int) -> int:
+    """Grid-size bucket for the scalar kernels: few distinct compile shapes,
+    512-chunk slabs for large batches."""
+    for b in (8, 32, 128, 512):
+        if n <= b:
+            return b
+    return 512
+
+
+# ---------------------------------------------------------------------------
+# Scalar-kernel jitted pipelines (packed-word layout at the device boundary)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _decode_chunks_scalar(meta, comp_words, nb: int):
+    """Decode chunks on the scalar core + masked CRC32C of outputs (VPU)."""
+    from .ops import decode_scalar
+
+    out_words, status = decode_scalar.decode_chunks_words(meta, comp_words, nb)
+    w = out_words[:, 0, : decode_scalar.OUT_WORDS]
+    byts = jnp.stack(
+        [w & 255, (w >> 8) & 255, (w >> 16) & 255, (w >> 24) & 255], axis=-1
+    ).reshape(nb, -1)
+    out_lens = meta[:, 0, 1]
+    # The copy engine spills garbage past the written length; zero it for CRC.
+    j = jax.lax.broadcasted_iota(jnp.int32, byts.shape, 1)
+    byts = jnp.where(j < out_lens[:, None], byts, 0)
+    crcs = crc32c_jax.masked_crc32c_chunks(byts, out_lens, _BLOCK)
+    return out_words, status, crcs
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _decode_scalar_nocrc(meta, comp_words, nb: int):
+    from .ops import decode_scalar
+
+    return decode_scalar.decode_chunks_words(meta, comp_words, nb)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _encode_frames_scalar(frames_u8, flens, nb: int):
+    """Per-frame masked CRC32C (VPU) + scalar-core block encode."""
+    from .ops import encode_scalar
+
+    frames_i32 = frames_u8.astype(jnp.int32)
+    crcs = crc32c_jax.masked_crc32c_chunks(frames_i32, flens, _BLOCK)
+    b = frames_i32.reshape(nb, -1, 4)
+    words = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
+    words = jnp.pad(words, ((0, 0), (0, 4))).reshape(nb, 1, -1)
+    meta = flens.astype(jnp.int32).reshape(nb, 1, 1)
+    enc_w, elen = encode_scalar.encode_blocks_words(meta, words, nb)
+    return crcs, enc_w, elen[:, 0, 0]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _encode_blocks_scalar(frames_u8, flens, nb: int):
+    """Scalar-core block encode without CRC (raw format)."""
+    from .ops import encode_scalar
+
+    frames_i32 = frames_u8.astype(jnp.int32)
+    b = frames_i32.reshape(nb, -1, 4)
+    words = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
+    words = jnp.pad(words, ((0, 0), (0, 4))).reshape(nb, 1, -1)
+    meta = flens.astype(jnp.int32).reshape(nb, 1, 1)
+    enc_w, elen = encode_scalar.encode_blocks_words(meta, words, nb)
+    return enc_w, elen[:, 0, 0]
+
+
 # ---------------------------------------------------------------------------
 # Jitted pipelines (uint8 in/out at the device boundary)
 # ---------------------------------------------------------------------------
@@ -112,6 +194,28 @@ def raw_compress(
     arr = np.frombuffer(data, dtype=np.uint8)
     blocks, blens = _split_blocks(arr)
     nb = blocks.shape[0]
+
+    if _use_scalar_kernels():
+        from .ops import encode_scalar
+
+        parts = [header]
+        for lo in range(0, nb, 512):
+            hi = min(nb, lo + 512)
+            slab = _nb_slab(hi - lo)
+            fr = blocks[lo:hi]
+            fl = blens[lo:hi]
+            if slab != hi - lo:
+                fr = np.vstack([fr, np.zeros((slab - (hi - lo), _BLOCK), np.uint8)])
+                fl = np.concatenate([fl, np.zeros((slab - (hi - lo),), np.int32)])
+            enc_w, elens = _encode_blocks_scalar(
+                jnp.asarray(fr), jnp.asarray(fl), slab
+            )
+            enc_b = np.ascontiguousarray(np.asarray(enc_w)).view(np.uint8)
+            elens = np.asarray(elens)
+            for k in range(hi - lo):
+                parts.append(enc_b[k, 0, : int(elens[k])].tobytes())
+        return b"".join(parts)
+
     nb_pad = _bucket(nb, lo=1)
     if nb_pad != nb:
         blocks = np.vstack([blocks, np.zeros((nb_pad - nb, _BLOCK), np.uint8)])
@@ -154,6 +258,24 @@ def raw_uncompress(
         return (b"", "ok") if len(body) == 0 else (None, "invalid")
     if len(body) == 0:
         return None, "invalid"
+
+    from .ops import decode_scalar
+
+    if (
+        _use_scalar_kernels()
+        and declared <= 4 * decode_scalar.RAW_OUT_WORDS
+        and len(body) <= 4 * decode_scalar.RAW_C_WORDS
+    ):
+        meta, comp = decode_scalar.pack_raw(bytes(body), int(declared))
+        out_words, status = decode_scalar.decode_raw_words(
+            jnp.asarray(meta), jnp.asarray(comp)
+        )
+        status = np.asarray(status)
+        if not status[0, 0, 0]:
+            return None, "invalid"
+        out_b = np.ascontiguousarray(np.asarray(out_words)).view(np.uint8)
+        return out_b[0, 0, : int(declared)].tobytes(), "ok"
+
     c_pad = _bucket(len(body))
     comp = np.zeros((c_pad,), dtype=np.uint8)
     comp[: len(body)] = body
@@ -195,16 +317,40 @@ def framed_compress(
     arr = np.frombuffer(data, dtype=np.uint8)
     frames, flens = _split_blocks(arr)
     nf = frames.shape[0]
-    nf_pad = _bucket(nf, lo=1)
-    if nf_pad != nf:
-        frames = np.vstack([frames, np.zeros((nf_pad - nf, _BLOCK), np.uint8)])
-        flens = np.concatenate([flens, np.zeros((nf_pad - nf,), np.int32)])
-    crcs, enc, totals = _encode_frames_u8(
-        jnp.asarray(frames), jnp.asarray(flens), _MAX_COMP_BLOCK
-    )
-    crcs = np.asarray(crcs)
-    enc = np.asarray(enc)
-    totals = np.asarray(totals)
+
+    if _use_scalar_kernels():
+        crcs_l, enc_l, totals_l = [], [], []
+        for lo in range(0, nf, 512):
+            hi = min(nf, lo + 512)
+            slab = _nb_slab(hi - lo)
+            fr = frames[lo:hi]
+            fl = flens[lo:hi]
+            if slab != hi - lo:
+                fr = np.vstack([fr, np.zeros((slab - (hi - lo), _BLOCK), np.uint8)])
+                fl = np.concatenate([fl, np.zeros((slab - (hi - lo),), np.int32)])
+            crc_s, enc_w, elens = _encode_frames_scalar(
+                jnp.asarray(fr), jnp.asarray(fl), slab
+            )
+            enc_b = np.ascontiguousarray(np.asarray(enc_w)).view(np.uint8)
+            crcs_l.append(np.asarray(crc_s)[: hi - lo])
+            totals_l.append(np.asarray(elens)[: hi - lo])
+            enc_l.append(enc_b[: hi - lo, 0, :])
+        crcs = np.concatenate(crcs_l)
+        totals = np.concatenate(totals_l)
+        enc = np.concatenate(enc_l)
+    else:
+        nf_pad = _bucket(nf, lo=1)
+        if nf_pad != nf:
+            frames = np.vstack(
+                [frames, np.zeros((nf_pad - nf, _BLOCK), np.uint8)]
+            )
+            flens = np.concatenate([flens, np.zeros((nf_pad - nf,), np.int32)])
+        crcs, enc, totals = _encode_frames_u8(
+            jnp.asarray(frames), jnp.asarray(flens), _MAX_COMP_BLOCK
+        )
+        crcs = np.asarray(crcs)
+        enc = np.asarray(enc)
+        totals = np.asarray(totals)
     for k in range(nf):
         flen = int(flens[k])
         crc_bytes = int(crcs[k]).to_bytes(4, "little")
@@ -302,9 +448,38 @@ def framed_uncompress_chunks(
             outputs[ci] = b""  # reserved skippable: ignore payload
 
     if comp_jobs:
+        from .ops import decode_scalar
+
+        n = len(comp_jobs)
+        if _use_scalar_kernels() and all(
+            len(j[1]) <= 4 * decode_scalar.C_WORDS for j in comp_jobs
+        ):
+            for lo in range(0, n, 512):
+                hi = min(n, lo + 512)
+                slab = _nb_slab(hi - lo)
+                bodies = [bytes(j[1]) for j in comp_jobs[lo:hi]]
+                decls = [j[2] for j in comp_jobs[lo:hi]]
+                while len(bodies) < slab:
+                    bodies.append(b"")
+                    decls.append(0)
+                meta, comp = decode_scalar.pack_chunks(bodies, decls)
+                out_words, status, crcs = _decode_chunks_scalar(
+                    jnp.asarray(meta), jnp.asarray(comp), slab
+                )
+                status = np.asarray(status)
+                crcs = np.asarray(crcs)
+                out_b = np.ascontiguousarray(np.asarray(out_words)).view(np.uint8)
+                for k in range(hi - lo):
+                    ci, _, declared, stored = comp_jobs[lo + k]
+                    if not status[k, 0, 0]:
+                        return None, "invalid"
+                    if check_integrity and int(crcs[k]) != stored:
+                        return None, "crc"
+                    outputs[ci] = out_b[k, 0, :declared].tobytes()
+            return [o if o is not None else b"" for o in outputs], "ok"
+
         max_body = max(len(j[1]) for j in comp_jobs)
         c_pad = _bucket(max_body, lo=1024)
-        n = len(comp_jobs)
         n_pad = _bucket(n, lo=1)
         comp = np.zeros((n_pad, c_pad), dtype=np.uint8)
         comp_lens = np.zeros((n_pad,), dtype=np.int32)

@@ -1,0 +1,149 @@
+"""Scalar-core Pallas codec kernels, executed via the Pallas interpreter.
+
+These pin the production TPU decode/encode kernel semantics in CI without
+TPU hardware (the same kernels run compiled on-device; see
+experiments/e4_scalar_decode_tpu.py for the hardware runs).  Payloads stay
+small: the interpreter executes the scalar loops op by op.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import snappy_tpu as s
+from snappy_tpu.formats import varint
+from snappy_tpu.ops import decode_scalar, encode_scalar
+from snappy_tpu.testing import oracle
+
+from test_oracle import MALFORMED_RAW
+
+
+def _tag_stream(payload):
+    enc = s.encode(payload)
+    _, v = varint.decode_uint32(enc)
+    return enc[v:]
+
+
+PAYLOADS = [
+    b"",
+    b"x",
+    b"hello world hello world hello world ",
+    bytes(random.Random(1).randbytes(500)),
+    b"ab" * 300,       # offset-2 pattern
+    b"a" * 700,        # offset-1 RLE
+    b"abc" * 200,      # offset-3
+    b"abcd" * 200,
+    b"abcdefg" * 100,
+    b"the quick brown fox jumps over the lazy dog. " * 20,
+]
+
+
+class TestScalarDecoder:
+    def test_valid_streams_roundtrip(self):
+        bodies = [_tag_stream(p) for p in PAYLOADS]
+        decls = [len(p) for p in PAYLOADS]
+        meta, comp = decode_scalar.pack_chunks(bodies, decls)
+        out_w, status = decode_scalar.decode_chunks_words(
+            meta, comp, len(bodies), interpret=True
+        )
+        status = np.asarray(status)
+        outs = decode_scalar.unpack_output(np.asarray(out_w), status[:, 0, 1])
+        for k, p in enumerate(PAYLOADS):
+            assert bool(status[k, 0, 0]), k
+            assert outs[k] == p, k
+
+    def test_malformed_decisions_match_oracle(self):
+        bodies, decls = [], []
+        for mv in MALFORMED_RAW:
+            val, read = varint.decode_uint32(bytes(mv))
+            if val is None or val > 65536:
+                continue
+            bodies.append(bytes(mv)[read:])
+            decls.append(val)
+        meta, comp = decode_scalar.pack_chunks(bodies, decls)
+        out_w, status = decode_scalar.decode_chunks_words(
+            meta, comp, len(bodies), interpret=True
+        )
+        status = np.asarray(status)
+        for k in range(len(bodies)):
+            ref_out, ref_err = oracle.decode_all_tags(bodies[k], decls[k])
+            ref_ok = ref_err is None and len(ref_out) == decls[k]
+            assert bool(status[k, 0, 0]) == ref_ok, k
+
+    def test_mutant_decisions_match_oracle(self):
+        rng = random.Random(7)
+        base = _tag_stream(PAYLOADS[9])
+        bodies, decls = [], []
+        for _ in range(8):
+            b = bytearray(base)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            bodies.append(bytes(b))
+            decls.append(len(PAYLOADS[9]))
+        meta, comp = decode_scalar.pack_chunks(bodies, decls)
+        out_w, status = decode_scalar.decode_chunks_words(
+            meta, comp, len(bodies), interpret=True
+        )
+        status = np.asarray(status)
+        outs = decode_scalar.unpack_output(np.asarray(out_w), status[:, 0, 1])
+        for k in range(len(bodies)):
+            ref_out, ref_err = oracle.decode_all_tags(bodies[k], decls[k])
+            ref_ok = ref_err is None and len(ref_out) == decls[k]
+            assert bool(status[k, 0, 0]) == ref_ok, k
+            if ref_ok:
+                assert outs[k] == bytes(ref_out), k
+
+
+class TestScalarEncoder:
+    def test_blocks_encode_decodable_and_dense(self):
+        meta, inw = encode_scalar.pack_blocks(PAYLOADS)
+        enc_w, elen = encode_scalar.encode_blocks_words(
+            meta, inw, len(PAYLOADS), interpret=True
+        )
+        elens = np.asarray(elen)[:, 0, 0]
+        encs = encode_scalar.unpack_enc(np.asarray(enc_w), elens)
+        for k, p in enumerate(PAYLOADS):
+            dec, err = oracle.decode_all_tags(encs[k], len(p))
+            assert err is None and bytes(dec) == p, k
+            ref_len = len(oracle.encode_block(p)) if p else 0
+            # density parity with the reference greedy (probe order differs
+            # slightly; allow a whisker)
+            assert len(encs[k]) <= max(ref_len + 2, int(ref_len * 1.02)), (
+                k,
+                len(encs[k]),
+                ref_len,
+            )
+
+    def test_cpp_snappy_cross_decode(self):
+        from snappy_tpu.testing import cpp_snappy
+
+        if not cpp_snappy.available():
+            pytest.skip("no libsnappy")
+        meta, inw = encode_scalar.pack_blocks(PAYLOADS)
+        enc_w, elen = encode_scalar.encode_blocks_words(
+            meta, inw, len(PAYLOADS), interpret=True
+        )
+        elens = np.asarray(elen)[:, 0, 0]
+        encs = encode_scalar.unpack_enc(np.asarray(enc_w), elens)
+        for k, p in enumerate(PAYLOADS):
+            full = varint.encode_uint32(len(p)) + encs[k]
+            assert cpp_snappy.decode(full) == p, k
+
+
+class TestEngineScalarPath:
+    """Engine round-trip through the interpret-mode scalar kernels."""
+
+    def test_engine_device_path_with_scalar_kernels(self, monkeypatch):
+        monkeypatch.setenv("SNAPPY_TPU_SCALAR_INTERPRET", "1")
+        from snappy_tpu import engine
+
+        payload = b"engine scalar path " * 40
+        enc = engine.framed_compress(payload, backend="device")
+        assert s.decode_framed(enc) == payload  # host/default decodes it
+        out, reason = engine.framed_uncompress(enc, backend="device")
+        assert reason == "ok" and out == payload
+
+        raw = engine.raw_compress(payload, backend="device")
+        assert s.decode(raw) == payload
+        got, reason = engine.raw_uncompress(raw, backend="device")
+        assert reason == "ok" and got == payload
