@@ -159,7 +159,9 @@ def _mat_apply_jnp(cols: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     32-step loop made remote compiles pathologically slow)."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (v[..., None] >> shifts) & jnp.uint32(1)  # [..., 32]
-    terms = bits * cols  # [..., 32]
+    # (0 - bit) & col instead of bit * col: integer multiply is microcoded
+    # on the VPU (measured ~30% slower end to end).
+    terms = (jnp.uint32(0) - bits) & cols  # [..., 32]
     return jax.lax.reduce(
         terms, jnp.uint32(0), jax.lax.bitwise_xor, dimensions=(terms.ndim - 1,)
     )
@@ -192,9 +194,10 @@ def _lane_registers(chunk_u32: jnp.ndarray) -> jnp.ndarray:
             | (b[:, 3].astype(jnp.uint32) << 24)
         )
         # 32 LFSR clocks; after them the remaining high bits of x are zero.
+        # Feedback via (0 - m) & poly — multiply-free (see _mat_apply_jnp).
         def clock(_, x):
             m = x & jnp.uint32(1)
-            return (x >> 1) ^ (poly * m)
+            return (x >> 1) ^ ((jnp.uint32(0) - m) & poly)
 
         return jax.lax.fori_loop(0, 32, clock, x)
 

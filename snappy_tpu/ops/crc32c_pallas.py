@@ -57,9 +57,11 @@ def _kernel_factory(lanes: int, n_levels: int):
     def kernel(mats_ref, words_ref, out_ref):
         x = words_ref[:]  # [R, lanes] uint32: LE words, zero-padded
 
+        # Feedback via (0 - m) & poly: integer multiply is microcoded on
+        # the VPU — the mask form measured 1.63 vs 1.22 GB/s (e8).
         def clock(_, x):
             m = x & jnp.uint32(1)
-            return (x >> 1) ^ (jnp.uint32(_POLY) * m)
+            return (x >> 1) ^ ((jnp.uint32(0) - m) & jnp.uint32(_POLY))
 
         x = jax.lax.fori_loop(0, 32, clock, x)
 
@@ -70,7 +72,7 @@ def _kernel_factory(lanes: int, n_levels: int):
 
             def mat_bit(i, acc):
                 bit = (left >> jnp.uint32(i)) & jnp.uint32(1)
-                return acc ^ (mats_ref[level, i] * bit)
+                return acc ^ (mats_ref[level, i] & (jnp.uint32(0) - bit))
 
             x = jax.lax.fori_loop(0, 32, mat_bit, jnp.zeros_like(left)) ^ right
             half //= 2

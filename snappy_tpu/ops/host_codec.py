@@ -77,8 +77,9 @@ def _build() -> Optional[ctypes.CDLL]:
         return None
     try:
         san = sanitize_flags()
+        extra = os.environ.get("SNAPPY_TPU_CFLAGS", "").split()
         src = _SRC.read_bytes() + _SRC_CRC.read_bytes()
-        tag = hashlib.sha256(src + repr(san).encode()).hexdigest()[:16]
+        tag = hashlib.sha256(src + repr(san + extra).encode()).hexdigest()[:16]
         suffix = "_san" if san else ""
         so_path = _cache_dir() / f"snappy_codec_{tag}{suffix}.so"
         if not so_path.exists():
@@ -93,6 +94,7 @@ def _build() -> Optional[ctypes.CDLL]:
                         "-shared",
                         "-fPIC",
                         *san,
+                        *extra,
                         str(_SRC),
                         str(_SRC_CRC),
                         "-o",
