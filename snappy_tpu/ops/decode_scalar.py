@@ -110,24 +110,14 @@ def _kernel(meta_ref, comp_ref, out_ref, status_ref):
         w = out_ref[0, 0, wi]
         out_ref[0, 0, wi] = (w & ~(255 << sh)) | ((v & 255) << sh)
 
-    def pword_out_u(p, v):
-        """Store 4 LE bytes at ANY byte offset p (read-merge-write both
-        straddled words).  Branch-free: for aligned p the keep-masks
-        degenerate so the second word writes back unchanged."""
-        wi = p >> 2
-        sh = (p & 3) * 8
-        keep = (jnp.int32(1) << sh) - 1  # low sh bits of the low word
-        lo = out_ref[0, 0, wi]
-        out_ref[0, 0, wi] = (lo & keep) | (v << sh)
-        hi = out_ref[0, 0, wi + 1]
-        # v's top sh bits spill into the next word's low sh bits.
-        # (v >> 31 >> 1) avoids the undefined shift-by-32 when sh == 0.
-        spill = (v >> (31 - sh) >> 1) & keep
-        out_ref[0, 0, wi + 1] = (hi & ~keep) | spill
+    def emit(dst0, length, make_load):
+        """Write ``length`` bytes at dst0.
 
-    def emit(dst0, length, load):
-        """Write ``length`` bytes at dst0 from ``load(o)`` (LE word at
-        source offset o), in strictly increasing source order.
+        ``make_load(src_off)`` returns a loader ``g(o)`` yielding the LE
+        word at source offset ``src_off + o`` — o advances in multiples of
+        4, so the loader hoists its funnel shift/mask once per segment
+        (the shift is constant along a segment; recomputing it per word
+        was ~20% of decode time).
 
         Over-writes up to 7 bytes past the segment end (always at
         positions >= the running cursor, so later segments repair them —
@@ -136,11 +126,25 @@ def _kernel(meta_ref, comp_ref, out_ref, status_ref):
         byte tags; longer segments run an aligned-destination loop (plain
         word stores, no read-merge-write).
         """
-        pword_out_u(dst0, load(jnp.int32(0)))
+        sh_d = (dst0 & 3) * 8
+        keep_d = (jnp.int32(1) << sh_d) - 1
+
+        def store_u(p, v):
+            # 4-byte store at p (p ≡ dst0 mod 4): merge masks hoisted.
+            wi = p >> 2
+            lo = out_ref[0, 0, wi]
+            out_ref[0, 0, wi] = (lo & keep_d) | (v << sh_d)
+            hi = out_ref[0, 0, wi + 1]
+            # (v >> 31 >> 1) avoids the undefined shift-by-32 when sh_d==0.
+            spill = (v >> (31 - sh_d) >> 1) & keep_d
+            out_ref[0, 0, wi + 1] = (hi & ~keep_d) | spill
+
+        g0 = make_load(jnp.int32(0))
+        store_u(dst0, g0(jnp.int32(0)))
 
         @pl.when(length > 4)
         def _():
-            pword_out_u(dst0 + 4, load(jnp.int32(4)))
+            store_u(dst0 + 4, g0(jnp.int32(4)))
 
         @pl.when(length > 8)
         def _():
@@ -149,27 +153,68 @@ def _kernel(meta_ref, comp_ref, out_ref, status_ref):
             # (copy loads lag the cursor by >= 4, so re-reads see final
             # data), keeping the loop stores aligned single writes.
             o0 = (((dst0 + 8) >> 2) << 2) - dst0  # in [5, 8]
+            g1 = make_load(o0)
+            wi0 = (dst0 + o0) >> 2
+            rem = length - o0
 
-            def body(o):
-                wi = (dst0 + o) >> 2
-                out_ref[0, 0, wi] = load(o)
-                out_ref[0, 0, wi + 1] = load(o + 4)
-                return o + 8
+            def body(s):
+                k, wi = s
+                out_ref[0, 0, wi] = g1(k)
+                out_ref[0, 0, wi + 1] = g1(k + 4)
+                return k + 8, wi + 2
 
-            jax.lax.while_loop(lambda o: o < length, body, o0)
+            jax.lax.while_loop(
+                lambda s: s[0] < rem, body, (jnp.int32(0), wi0)
+            )
+
+    def make_load_comp(base):
+        def make(off):
+            b2 = base + off
+            bw = b2 >> 2
+            sh = (b2 & 3) * 8
+            m = (jnp.int32(1) << (32 - sh)) - 1
+
+            def g(o):
+                wi = bw + (o >> 2)
+                wa = comp_ref[0, 0, wi]
+                wb = comp_ref[0, 0, wi + 1]
+                return jax.lax.select(
+                    sh == 0, wa, ((wa >> sh) & m) | (wb << (32 - sh))
+                )
+
+            return g
+
+        return make
+
+    def make_load_out(base):
+        def make(off):
+            b2 = base + off
+            bw = b2 >> 2
+            sh = (b2 & 3) * 8
+            m = (jnp.int32(1) << (32 - sh)) - 1
+
+            def g(o):
+                wi = bw + (o >> 2)
+                wa = out_ref[0, 0, wi]
+                wb = out_ref[0, 0, jnp.minimum(wi + 1, out_pad_words - 1)]
+                return jax.lax.select(
+                    sh == 0, wa, ((wa >> sh) & m) | (wb << (32 - sh))
+                )
+
+            return g
+
+        return make
 
     def do_literal(pos, w, hdr, length):
         # Runs only on validated tags: base+length <= n, and speculative
         # reads stop before the padded tail ends.
-        base = pos + hdr
-        emit(w, length, lambda o: gword_comp(base + o))
+        emit(w, length, make_load_comp(pos + hdr))
 
     def do_copy_far(w, off, length):
         # off >= 4: word reads lag the write cursor by >= 4 bytes, so
         # every load sees already-written output (the sequencing makes
         # self-overlapping copies with off >= 4 correct).
-        base = w - off
-        emit(w, length, lambda o: gword_out(base + o))
+        emit(w, length, make_load_out(w - off))
 
     def do_copy_near(w, off, length):
         # off in {1, 2, 3}: the run is periodic.  off 1 and 2 replicate
@@ -186,9 +231,13 @@ def _kernel(meta_ref, comp_ref, out_ref, status_ref):
         def _():
             pa = jax.lax.select(off == 1, pat1, pat2)
             pb = jax.lax.select(off == 1, pat1, pat2s)
-            # emit's aligned loop may restart at an odd relative offset;
-            # the off==2 pattern alternates with that parity.
-            emit(w, length, lambda o: jax.lax.select((o & 1) == 0, pa, pb))
+
+            def make(off2):
+                # source-offset parity is constant along the segment
+                pv = jax.lax.select((off2 & 1) == 0, pa, pb)
+                return lambda o: pv
+
+            emit(w, length, make)
 
         @pl.when(off == 3)
         def _():
