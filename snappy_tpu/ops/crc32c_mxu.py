@@ -19,16 +19,21 @@ snappy masking) reuses the existing machinery.
 
 Works under plain XLA — no Pallas, runs identically on CPU for tests.
 
-STATUS — measured on the tunneled v5e (2026-08-17): 0.70 GB/s, LOSING to
-the bit-serial VPU path (1.3-1.6 GB/s with the multiply-free feedback).
-The MXU contraction itself is cheap (~1 GMAC per 4 MiB); the cost is the
-bit-unpack materialization (33 MB of int8 bit-planes per 4 MiB round-
-tripping through HBM) plus deep-K/narrow-N matmul underutilization.  A
-Pallas-fused variant (unpack in VMEM, per-step matmul) is the plausible
-rescue; until then this module is a validated ALTERNATIVE, not the default
-— crc32c_jax remains the production path.  Kept because the construction
-is exact everywhere (CPU-tested) and may win on parts with faster narrow
-matmuls.
+STATUS — measured on the tunneled v5e (2026-08-17):
+
+* plain-XLA path below: 0.70 GB/s (bit-plane materialization round-trips
+  33 MB per 4 MiB through HBM);
+* Pallas-fused variant (`masked_crc32c_chunks_fused`, bit-planes unpacked
+  in VMEM, 32 per-bit-plane int8 matmuls): **1.68 GB/s**, on par with the
+  best bit-serial VPU path (1.63 GB/s) — the (1024,128)@(128,128) plane
+  matmuls hit the same narrow-shape MXU ceiling (~3 TMAC/s) measured in
+  experiments/e2b.
+
+Three independent formulations (VPU bit-serial, VMEM Pallas, MXU GF(2))
+converge at ~1.6-1.7 GB/s on this part; crc32c_jax remains the default
+(no Pallas compile cost).  This module stays as the validated alternative
+— on parts with healthier narrow-matmul throughput the same matrices
+should scale well past it.
 
 Fixed geometry: chunks of padded_len = 65536 bytes (the framed pipeline's
 shape); other padded sizes fall back to crc32c_jax.
@@ -89,12 +94,14 @@ def _matrices():
             contrib = crc32c_jax._mat_apply_np(adv, 1 << r_in)
             for r in range(32):
                 B[s * 32 + r_in, r] = (contrib >> r) & 1
-    return jnp.asarray(A), jnp.asarray(B)
+    # Cache PLAIN numpy: this can first be called inside a jit trace, and
+    # caching trace-scoped constants would poison later traces.
+    return A, B
 
 
 def _registers(chunks: jnp.ndarray) -> jnp.ndarray:
     """Zero-init CRC registers for [N, 65536] int32 byte-value chunks."""
-    A, B = _matrices()
+    A, B = (jnp.asarray(m) for m in _matrices())
     n = chunks.shape[0]
     shifts = jnp.arange(8, dtype=jnp.int32)
     bits = ((chunks[..., None] >> shifts) & 1).astype(jnp.int8)  # [N, P, 8]
@@ -121,4 +128,128 @@ def masked_crc32c_chunks(chunks: jnp.ndarray, lengths: jnp.ndarray, padded_len: 
         reg = jnp.where(
             bit == 1, crc32c_jax._mat_apply_jnp(cols, reg), reg
         )
+    return crc32c_jax.mask_crc(reg ^ jnp.uint32(0xFFFFFFFF))
+
+
+# ---------------------------------------------------------------------------
+# Pallas-fused variant: unpack bits in VMEM, contract on the MXU
+# ---------------------------------------------------------------------------
+#
+# The plain-XLA path above loses to HBM traffic: the int8 bit-planes
+# (8 bytes per message byte) round-trip through main memory.  Fused in a
+# Pallas kernel the bit-planes live and die in VMEM; only the chunk words
+# stream in.
+
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+_ROWS = 8  # chunks per grid step
+
+
+@functools.cache
+def _a_planes():
+    """Stage-1 matrix regrouped as 32 bit-plane matrices.
+
+    Plane j is [128 words, 128 cols] int8 with rows A[w*32 + j, :32] zero-
+    padded to 128 columns, stacked into one [32*128, 128] array so the
+    kernel slices planes statically.
+    """
+    A, _ = _matrices()
+    planes = np.zeros((32 * 128, 128), dtype=np.int8)
+    for j in range(32):
+        for w in range(128):
+            planes[j * 128 + w, :32] = A[w * 32 + j, :]
+    return planes
+
+
+def _fused_kernel(a_ref, words_ref, out_ref):
+    # words_ref: [1024, 128] int32 — 8 chunks x 128 superlanes, 128 LE
+    # words per superlane.  Stage 1 only; no reshapes (Mosaic-safe):
+    # R = sum_j plane_j(bits) @ A_j, contracted per bit position j.
+    x = words_ref[:]
+    acc = jnp.zeros((x.shape[0], 128), dtype=jnp.int32)
+    for j in range(32):
+        p = ((x >> j) & 1).astype(jnp.int8)
+        acc = acc + jax.lax.dot_general(
+            p,
+            a_ref[j * 128 : (j + 1) * 128, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    bits = acc & 1  # [1024, 128]; columns >= 32 are zero
+    weights = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    w32 = jnp.where(weights < 32, jnp.int32(1) << (weights & 31), 0)
+    reg = jnp.sum(bits * w32, axis=1, keepdims=True)  # [1024, 1]
+    out_ref[:] = jnp.broadcast_to(reg, out_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _fused_registers(words: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """words: [N, 16384] int32 LE words -> zero-init CRC registers [N].
+
+    The Pallas kernel produces per-SUPERLANE registers (stage 1); the 128
+    superlane registers per chunk are folded with the existing GF(2)
+    combine tree in XLA (7 levels over tiny arrays).
+    """
+    n = words.shape[0]
+    A = jnp.asarray(_a_planes())
+    rows = words.reshape(n * _N_SUPER, _SBITS // 32)
+    out = pl.pallas_call(
+        _fused_kernel,
+        grid=((n * _N_SUPER) // (_ROWS * _N_SUPER),),
+        in_specs=[
+            pl.BlockSpec((32 * 128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_ROWS * _N_SUPER, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_ROWS * _N_SUPER, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n * _N_SUPER, 128), jnp.int32),
+        interpret=interpret,
+    )(A, rows)
+    regs = out[:, 0].astype(jnp.uint32).reshape(n, _N_SUPER)
+
+    # Fold the 128 per-superlane (512-byte) registers per chunk: level j
+    # combines halves spanning 512 * 2^j bytes.
+    fwd, _ = crc32c_jax._shift_matrices()
+    base = 9  # 512 = 2^9 bytes
+    level = 0
+    regs = regs.T  # [128, n]
+    while regs.shape[0] > 1:
+        cols = jnp.asarray(fwd[base + level])
+        left, right = regs[0::2], regs[1::2]
+        regs = crc32c_jax._mat_apply_jnp(cols, left) ^ right
+        level += 1
+    return regs[0]
+
+
+def fused_available() -> bool:
+    try:
+        plat = jax.devices()[0].platform
+        dev = str(jax.devices()[0])
+    except Exception:  # pragma: no cover
+        return False
+    return plat in ("tpu", "axon") or "TPU" in dev
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def masked_crc32c_chunks_fused(
+    chunks: jnp.ndarray, lengths: jnp.ndarray, padded_len: int, interpret: bool = False
+):
+    """Pallas-fused MXU CRC; chunks [N, 65536] int32 bytes, N % 8 == 0."""
+    if padded_len != _PADDED:
+        return crc32c_jax.masked_crc32c_chunks(chunks, lengths, padded_len)
+    n = chunks.shape[0]
+    b = chunks.reshape(n, _PADDED // 4, 4)
+    words = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
+    reg = _fused_registers(words, interpret)
+    reg = reg ^ jnp.uint32(crc32c_jax._init_term(_PADDED))
+    _, inv = crc32c_jax._shift_matrices()
+    pad = (jnp.int32(_PADDED) - lengths).astype(jnp.uint32)
+    for j in range(17):
+        cols = jnp.asarray(inv[j])
+        bit = (pad >> jnp.uint32(j)) & jnp.uint32(1)
+        reg = jnp.where(bit == 1, crc32c_jax._mat_apply_jnp(cols, reg), reg)
     return crc32c_jax.mask_crc(reg ^ jnp.uint32(0xFFFFFFFF))

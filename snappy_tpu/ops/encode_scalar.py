@@ -179,17 +179,34 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
 
     def match_len(c, s):
         """Length of the common prefix of input[c..] / input[s..] capped at
-        n (word compare then byte tail, findMatchLength analog)."""
+        n (word compare then byte tail, findMatchLength analog).
+
+        Both cursors advance by 4, so the funnel shifts are constant along
+        the loop — hoisted once (same trick as the decoder's copy engine).
+        """
+        sh_c = (c & 3) * 8
+        mc = (jnp.int32(1) << (32 - sh_c)) - 1
+        cw = c >> 2
+        sh_s = (s & 3) * 8
+        ms = (jnp.int32(1) << (32 - sh_s)) - 1
+        sw = s >> 2
+
+        def ld(bw, k, sh, m):
+            wa = in_ref[0, 0, bw + k]
+            wb = in_ref[0, 0, bw + k + 1]
+            return jax.lax.select(sh == 0, wa, ((wa >> sh) & m) | (wb << (32 - sh)))
 
         def wcond(st):
-            c_, s_, _ = st
-            return (s_ + 4 <= n) & (load32(c_) == load32(s_))
+            k, _ = st
+            return (s + 4 * k + 4 <= n) & (
+                ld(cw, k, sh_c, mc) == ld(sw, k, sh_s, ms)
+            )
 
         def wbody(st):
-            c_, s_, ml = st
-            return c_ + 4, s_ + 4, ml + 4
+            k, ml = st
+            return k + 1, ml + 4
 
-        c, s, ml = jax.lax.while_loop(wcond, wbody, (c, s, jnp.int32(0)))
+        k, ml = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), jnp.int32(0)))
 
         def bcond(st):
             c_, s_, _ = st
@@ -199,7 +216,7 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
             c_, s_, ml = st
             return c_ + 1, s_ + 1, ml + 1
 
-        _, _, ml = jax.lax.while_loop(bcond, bbody, (c, s, ml))
+        _, _, ml = jax.lax.while_loop(bcond, bbody, (c + ml, s + ml, ml))
         return ml
 
     # table mask per the reference's input-dependent sizing

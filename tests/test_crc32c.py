@@ -102,3 +102,23 @@ class TestMxuCrc:
         for k in range(N):
             want = crc32c_native.masked_crc32c(chunks[k, : lengths[k]].tobytes())
             assert int(got[k]) == want, k
+
+    def test_fused_kernel_interpret(self):
+        import numpy as np
+
+        from snappy_tpu.ops import crc32c_mxu
+
+        rng = np.random.default_rng(5)
+        N, P = 8, 65536
+        chunks = rng.integers(0, 256, (N, P), dtype=np.uint8)
+        lengths = np.asarray([P, P - 3, 40000, 1, P, 7, 123, 65535], np.int32)
+        for k in range(N):
+            chunks[k, lengths[k] :] = 0
+        got = np.asarray(
+            crc32c_mxu.masked_crc32c_chunks_fused(
+                jnp.asarray(chunks.astype(np.int32)), jnp.asarray(lengths), P, True
+            )
+        )
+        for k in range(N):
+            want = crc32c_native.masked_crc32c(chunks[k, : lengths[k]].tobytes())
+            assert int(got[k]) == want, k
