@@ -261,20 +261,34 @@ def raw_uncompress(
 
     from .ops import decode_scalar
 
-    if (
-        _use_scalar_kernels()
-        and declared <= 4 * decode_scalar.RAW_OUT_WORDS
-        and len(body) <= 4 * decode_scalar.RAW_C_WORDS
-    ):
-        meta, comp = decode_scalar.pack_raw(bytes(body), int(declared))
-        out_words, status = decode_scalar.decode_raw_words(
-            jnp.asarray(meta), jnp.asarray(comp)
+    if _use_scalar_kernels():
+        if (
+            declared <= 4 * decode_scalar.RAW_OUT_WORDS
+            and len(body) <= 4 * decode_scalar.RAW_C_WORDS
+        ):
+            meta, comp = decode_scalar.pack_raw(bytes(body), int(declared))
+            out_words, status = decode_scalar.decode_raw_words(
+                jnp.asarray(meta), jnp.asarray(comp)
+            )
+            status = np.asarray(status)
+            if not status[0, 0, 0]:
+                return None, "invalid"
+            out_b = np.ascontiguousarray(np.asarray(out_words)).view(np.uint8)
+            return out_b[0, 0, : int(declared)].tobytes(), "ok"
+
+        # Any larger raw stream: the windowed streaming decoder (one scan
+        # dispatch, device-resident).  "unsupported" = a legal copy offset
+        # reaching further than the 64 KiB window history (no known encoder
+        # emits one) — fall through to the XLA kernels for that stream.
+        from .ops import decode_stream
+
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            bytes(body), int(declared)
         )
-        status = np.asarray(status)
-        if not status[0, 0, 0]:
+        if reason == "ok":
+            return out, "ok"
+        if reason == "invalid":
             return None, "invalid"
-        out_b = np.ascontiguousarray(np.asarray(out_words)).view(np.uint8)
-        return out_b[0, 0, : int(declared)].tobytes(), "ok"
 
     c_pad = _bucket(len(body))
     comp = np.zeros((c_pad,), dtype=np.uint8)

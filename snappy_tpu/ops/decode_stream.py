@@ -1,0 +1,580 @@
+"""Streaming raw-format decoder: arbitrary-size streams on the scalar core.
+
+The chunk decoder (ops/decode_scalar.py) holds one whole <= 64 KiB output
+and its compressed bytes in SMEM.  Raw streams are unbounded, so this
+variant decodes in WINDOWS under one ``lax.scan`` — fully device-resident,
+one dispatch for the whole stream:
+
+* each scan step runs the scalar-core kernel over one SMEM-resident slice:
+  up to 64 KiB of output and up to ~76.8 KB of compressed input (sliced
+  from the full stream in HBM with ``lax.dynamic_slice``);
+* copies may reference up to 64 KiB back: the previous output window rides
+  in the scan carry and is passed to the kernel as a read-only input; the
+  carry realigns it after ragged windows with a vectorized funnel shift;
+* tags and literal payloads can straddle both the output window and the
+  compressed window: the kernel returns a pending-segment state
+  (kind, remaining length, copy offset) that the next step resumes;
+* a step ends when its output window fills, its compressed window runs
+  dry (margin of 8 bytes), or the stream ends/errors — so windows are
+  RAGGED in pathological streams; the host compacts them afterwards.
+
+Validation matches the reference decoder globally (offset 0 / beyond
+written output, truncated tags, length overruns, consumed==comp_len,
+written==declared).  One honest limitation: copy offsets reaching further
+than 64 KiB behind the cursor (legal tagCopy4 encodings that no known
+encoder emits) cannot be served from the one-window history — the kernel
+flags them as ``unsupported`` and the engine falls back to the
+array-parallel XLA decoder for that stream.
+
+Reference semantics: /root/reference/snappy/decoder.nim:20-155.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SC_WORDS = 19200  # comp window: 76800 bytes
+OW_WORDS = 16384  # output window: 65536 bytes
+OW_PAD = OW_WORDS + 4
+PREV_PAD = OW_WORDS + 4
+MARGIN = 8
+
+# st_in layout
+_SI_START = 0  # parse resume offset within the comp window (bytes)
+_SI_NAVAIL = 1  # valid bytes in the comp window
+_SI_MORE = 2  # 1 if more compressed input follows this window
+_SI_M = 3  # output budget this step (<= 65536)
+_SI_BASEW = 4  # total output bytes before this window
+_SI_PK = 5  # pending kind: 0 none / 1 literal / 2 copy
+_SI_PLEN = 6  # pending remaining length
+_SI_POFF = 7  # pending copy offset
+# st_out layout
+_SO_CONSUMED = 0  # bytes consumed from comp window start
+_SO_WRITTEN = 1
+_SO_ERR = 2
+_SO_DONE = 3  # input fully consumed, no pending
+_SO_PK = 4
+_SO_PLEN = 5
+_SO_POFF = 6
+_SO_UNSUP = 7  # copy offset beyond the 64 KiB window history
+
+
+def _kernel(st_ref, comp_ref, prev_ref, out_ref, so_ref):
+    start = st_ref[0, 0, _SI_START]
+    navail = st_ref[0, 0, _SI_NAVAIL]
+    more = st_ref[0, 0, _SI_MORE] == 1
+    m = st_ref[0, 0, _SI_M]
+    base_w = st_ref[0, 0, _SI_BASEW]
+
+    # ---------------- byte/word access helpers ----------------
+    def gbyte_c(p):
+        return (comp_ref[0, 0, p >> 2] >> ((p & 3) * 8)) & 255
+
+    def gword_c(p):
+        wa = comp_ref[0, 0, p >> 2]
+        wb = comp_ref[0, 0, (p >> 2) + 1]
+        sh = (p & 3) * 8
+        lo = (wa >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
+        return jax.lax.select(sh == 0, wa, lo | (wb << (32 - sh)))
+
+    def uword_idx(k):
+        """Unified word: k < 0 -> prev window, else current out."""
+        kp = jnp.clip(OW_WORDS + k, 0, PREV_PAD - 1)
+        ko = jnp.clip(k, 0, OW_PAD - 1)
+        return jax.lax.select(k < 0, prev_ref[0, 0, kp], out_ref[0, 0, ko])
+
+    def gbyte_u(q):
+        w = uword_idx(q >> 2)
+        return (w >> ((q & 3) * 8)) & 255
+
+    def pbyte_out(p, v):
+        wi = p >> 2
+        sh = (p & 3) * 8
+        w = out_ref[0, 0, wi]
+        out_ref[0, 0, wi] = (w & ~(255 << sh)) | ((v & 255) << sh)
+
+    # ---------------- copy engine (decode_scalar's emit) ----------------
+    def emit(dst0, length, make_load):
+        sh_d = (dst0 & 3) * 8
+        keep_d = (jnp.int32(1) << sh_d) - 1
+
+        def store_u(p, v):
+            wi = p >> 2
+            lo = out_ref[0, 0, wi]
+            out_ref[0, 0, wi] = (lo & keep_d) | (v << sh_d)
+            hi = out_ref[0, 0, wi + 1]
+            spill = (v >> (31 - sh_d) >> 1) & keep_d
+            out_ref[0, 0, wi + 1] = (hi & ~keep_d) | spill
+
+        g0 = make_load(jnp.int32(0))
+        store_u(dst0, g0(jnp.int32(0)))
+
+        @pl.when(length > 4)
+        def _():
+            store_u(dst0 + 4, g0(jnp.int32(4)))
+
+        @pl.when(length > 8)
+        def _():
+            o0 = (((dst0 + 8) >> 2) << 2) - dst0
+            g1 = make_load(o0)
+            wi0 = (dst0 + o0) >> 2
+            rem = length - o0
+
+            def body(s):
+                k, wi = s
+                out_ref[0, 0, wi] = g1(k)
+                out_ref[0, 0, wi + 1] = g1(k + 4)
+                return k + 8, wi + 2
+
+            jax.lax.while_loop(lambda s: s[0] < rem, body, (jnp.int32(0), wi0))
+
+    def make_load_comp(base):
+        def make(off):
+            b2 = base + off
+            bw = b2 >> 2
+            sh = (b2 & 3) * 8
+            mm = (jnp.int32(1) << (32 - sh)) - 1
+
+            def g(o):
+                wi = bw + (o >> 2)
+                wa = comp_ref[0, 0, wi]
+                wb = comp_ref[0, 0, wi + 1]
+                return jax.lax.select(
+                    sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
+                )
+
+            return g
+
+        return make
+
+    def make_load_out(base):
+        def make(off):
+            b2 = base + off
+            bw = b2 >> 2
+            sh = (b2 & 3) * 8
+            mm = (jnp.int32(1) << (32 - sh)) - 1
+
+            def g(o):
+                wi = bw + (o >> 2)
+                wa = out_ref[0, 0, wi]
+                wb = out_ref[0, 0, jnp.minimum(wi + 1, OW_PAD - 1)]
+                return jax.lax.select(
+                    sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
+                )
+
+            return g
+
+        return make
+
+    def make_load_prev(base):
+        # base is a unified (negative-capable) byte offset + 65536, i.e. an
+        # index into prev; reads never reach the current window because the
+        # caller guards base+length+8 <= 65536.
+        def make(off):
+            b2 = base + off
+            bw = b2 >> 2
+            sh = (b2 & 3) * 8
+            mm = (jnp.int32(1) << (32 - sh)) - 1
+
+            def g(o):
+                wi = bw + (o >> 2)
+                wa = prev_ref[0, 0, jnp.clip(wi, 0, PREV_PAD - 1)]
+                wb = prev_ref[0, 0, jnp.clip(wi + 1, 0, PREV_PAD - 1)]
+                return jax.lax.select(
+                    sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
+                )
+
+            return g
+
+        return make
+
+    def make_load_unified(base):
+        # straddling copies: per-word select between prev and out.
+        def make(off):
+            b2 = base + off
+            sh = (b2 & 3) * 8
+            mm = (jnp.int32(1) << (32 - sh)) - 1
+            bw = b2 >> 2  # arithmetic shift: floor for negatives
+
+            def g(o):
+                k = bw + (o >> 2)
+                wa = uword_idx(k)
+                wb = uword_idx(k + 1)
+                return jax.lax.select(
+                    sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
+                )
+
+            return g
+
+        return make
+
+    def do_copy(w, off, length):
+        """Copy ``length`` bytes to local cursor w from offset ``off`` back
+        (validated: 0 < off <= base_w + w and off <= 65536 + w)."""
+        base_local = w - off
+
+        @pl.when(off < 4)
+        def _():
+            b0 = gbyte_u(w - off)
+            b1 = gbyte_u(w - off + (off >> 1))
+            pat1 = b0 * jnp.int32(0x01010101)
+            pat2 = b0 | (b1 << 8) | (b0 << 16) | (b1 << 24)
+            pat2s = b1 | (b0 << 8) | (b1 << 16) | (b0 << 24)
+
+            @pl.when(off != 3)
+            def _():
+                pa = jax.lax.select(off == 1, pat1, pat2)
+                pb = jax.lax.select(off == 1, pat1, pat2s)
+
+                def make(off2):
+                    pv = jax.lax.select((off2 & 1) == 0, pa, pb)
+                    return lambda o: pv
+
+                emit(w, length, make)
+
+            @pl.when(off == 3)
+            def _():
+                def body(i, c):
+                    pbyte_out(w + i, gbyte_u(w - 3 + i))
+                    return c
+
+                jax.lax.fori_loop(0, length, body, 0)
+
+        @pl.when((off >= 4) & (base_local >= 0))
+        def _():
+            emit(w, length, make_load_out(base_local))
+
+        @pl.when((off >= 4) & (base_local + length + 8 <= 0))
+        def _():
+            emit(w, length, make_load_prev(base_local + 4 * OW_WORDS))
+
+        @pl.when((off >= 4) & (base_local < 0) & (base_local + length + 8 > 0))
+        def _():
+            emit(w, length, make_load_unified(base_local))
+
+    # ---------------- pending-segment service ----------------
+    def service_pending(pk, plen, poff):
+        """Returns (pos, w, still_pk, still_plen, stop)."""
+        pos0 = start
+        # literal continuation: payload at pos0
+        avail = navail - pos0
+        eff_l = jnp.clip(jnp.minimum(plen, jnp.minimum(m, avail)), 0, None)
+        # copy continuation
+        eff_c = jnp.clip(jnp.minimum(plen, m), 0, None)
+
+        def lit(_):
+            @pl.when(eff_l > 0)
+            def _():
+                emit(jnp.int32(0), eff_l, make_load_comp(pos0))
+
+            rem = plen - eff_l
+            return pos0 + eff_l, eff_l, jax.lax.select(rem > 0, 1, 0), rem
+
+        def cpy(_):
+            @pl.when(eff_c > 0)
+            def _():
+                do_copy(jnp.int32(0), poff, eff_c)
+
+            rem = plen - eff_c
+            return pos0, eff_c, jax.lax.select(rem > 0, 2, 0), rem
+
+        def none(_):
+            return pos0, jnp.int32(0), jnp.int32(0), jnp.int32(0)
+
+        pos, w, pk2, plen2 = jax.lax.switch(
+            jnp.clip(pk, 0, 2), [none, lit, cpy], 0
+        )
+        stop = pk2 > 0
+        return pos, w, pk2, plen2, stop
+
+    pk0 = st_ref[0, 0, _SI_PK]
+    plen0 = st_ref[0, 0, _SI_PLEN]
+    poff0 = st_ref[0, 0, _SI_POFF]
+    pos, w, pk, plen, stopped = service_pending(pk0, plen0, poff0)
+    poff = poff0
+
+    # ---------------- main tag loop ----------------
+    # state: pos, w, err, stop, pk, plen, poff
+    def cond(s):
+        pos, w, err, stop, pk, plen, poff = s
+        return (
+            (pos < navail)
+            & (~err)
+            & (~stop)
+            & (w < m)
+            & ~(more & (pos > navail - MARGIN))
+        )
+
+    def tag_step(s):
+        pos, w, err, stop, pk, plen, poff = s
+        b = gbyte_c(pos)
+        t = b & 3
+        lc = b >> 2
+        is_lit = t == 0
+
+        ex = jnp.clip(lc - 59, 0, 4)
+        ext_word = gword_c(pos + 1)
+        emask = jax.lax.select(
+            ex == 4, jnp.int32(-1), (jnp.int32(1) << (ex * 8)) - 1
+        )
+        ext_val = ext_word & emask
+        lit_wrap = is_lit & (lc >= 60) & (ext_val < 0)
+        lit_len = jax.lax.select(lc < 60, lc + 1, ext_val + 1)
+        hdr = jax.lax.select(is_lit, 1 + ex, 1 + t + ((t >> 1) & t & 1))
+
+        e1 = ext_word & 255
+        off = jax.lax.select(t == 1, ((b & 0xE0) << 3) | e1, ext_word)
+        off = jax.lax.select(t == 2, ext_word & 0xFFFF, off)
+        cl = jax.lax.select(t == 1, 4 + (lc & 7), 1 + lc)
+        length = jax.lax.select(is_lit, lit_len, cl)
+
+        # ---- validation (global semantics) ----
+        bad = lit_wrap | (is_lit & (lit_len < 0))
+        # literal payload truncation when no more input follows
+        pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
+        bad |= is_lit & (~more) & (
+            (pay_end > navail) | (pay_end < 0)
+        )
+        # copy tags: header must fit remaining input
+        bad |= (~is_lit) & (pos + hdr > navail)
+        bad |= (~is_lit) & ((off <= 0) | (off > base_w + w))
+        unsup = (~is_lit) & (~bad) & (off > 4 * OW_WORDS + w)
+        bad |= unsup
+
+        # ---- effective emission (window/global caps) ----
+        cap_out = m - w
+        avail_payload = navail - (pos + hdr)
+        eff = jnp.minimum(length, cap_out)
+        eff = jax.lax.select(
+            is_lit & more, jnp.minimum(eff, avail_payload), eff
+        )
+        eff = jnp.maximum(eff, 0)
+        split = (~bad) & (eff < length)
+
+        @pl.when((~bad) & (eff > 0) & is_lit)
+        def _():
+            emit(w, eff, make_load_comp(pos + hdr))
+
+        @pl.when((~bad) & (eff > 0) & (~is_lit))
+        def _():
+            do_copy(w, off, eff)
+
+        pos2 = jax.lax.select(
+            bad,
+            pos,
+            pos + hdr + jax.lax.select(is_lit, eff, jnp.int32(0)),
+        )
+        w2 = jax.lax.select(bad, w, w + eff)
+        pk2 = jax.lax.select(split, jax.lax.select(is_lit, 1, 2), 0)
+        plen2 = jax.lax.select(split, length - eff, jnp.int32(0))
+        poff2 = jax.lax.select(split & (~is_lit), off, poff)
+        err2 = err | bad
+        # flag unsupported via poff high bit? use separate store below
+        @pl.when(unsup)
+        def _():
+            so_ref[0, 0, _SO_UNSUP] = 1
+
+        return pos2, w2, err2, stop | split, pk2, plen2, poff2
+
+    so_ref[0, 0, _SO_UNSUP] = 0
+    pos, w, err, stop, pk, plen, poff = jax.lax.while_loop(
+        cond,
+        tag_step,
+        (pos, w, jnp.bool_(False), stopped, pk, plen, poff),
+    )
+
+    done = (~err) & (pos == navail) & (~more) & (pk == 0)
+    so_ref[0, 0, _SO_CONSUMED] = pos
+    so_ref[0, 0, _SO_WRITTEN] = w
+    so_ref[0, 0, _SO_ERR] = jax.lax.select(err, 1, 0)
+    so_ref[0, 0, _SO_DONE] = jax.lax.select(done, 1, 0)
+    so_ref[0, 0, _SO_PK] = pk
+    so_ref[0, 0, _SO_PLEN] = plen
+    so_ref[0, 0, _SO_POFF] = poff
+
+
+def _call_kernel(st, comp_win, prev, interpret: bool):
+    return pl.pallas_call(
+        _kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1, OW_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1, 16), jnp.int32),
+        ),
+        interpret=interpret,
+    )(st, comp_win, prev)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def decode_raw_stream(full_words, comp_len, declared, n_steps: int, interpret: bool):
+    """Decode one raw tag stream of any size.
+
+    full_words: int32 [W] packed LE bytes of the tag stream, zero-padded by
+    at least SC_WORDS + 8 words beyond comp_len.
+    comp_len, declared: int32 scalars.
+    n_steps: static scan length (>= windows + comp refills + 1).
+
+    Returns (windows [n_steps, OW_PAD] int32, written [n_steps] int32,
+    status [5] int32: ok, err, unsupported, total_written, consumed).
+    """
+
+    def body(carry, _):
+        pos_total, written_total, err, done, unsup, pk, plen, poff, prev = carry
+        word_base = pos_total >> 2
+        comp_win = jax.lax.dynamic_slice(
+            full_words, (word_base,), (SC_WORDS + 4,)
+        )
+        navail = jnp.clip(comp_len - word_base * 4, 0, 4 * SC_WORDS)
+        more = (word_base * 4 + navail) < comp_len
+        m = jnp.minimum(jnp.int32(4 * OW_WORDS), declared - written_total)
+        active = (~done) & (~err) & (m > 0) | ((~done) & (~err) & (pk > 0))
+        st = jnp.zeros((16,), jnp.int32)
+        st = st.at[_SI_START].set(pos_total - word_base * 4)
+        st = st.at[_SI_NAVAIL].set(navail)
+        st = st.at[_SI_MORE].set(jnp.where(more, 1, 0))
+        st = st.at[_SI_M].set(jnp.maximum(m, 0))
+        st = st.at[_SI_BASEW].set(written_total)
+        st = st.at[_SI_PK].set(pk)
+        st = st.at[_SI_PLEN].set(plen)
+        st = st.at[_SI_POFF].set(poff)
+
+        out_w, so = _call_kernel(
+            st.reshape(1, 1, 16),
+            comp_win.reshape(1, 1, -1),
+            prev.reshape(1, 1, -1),
+            interpret,
+        )
+        out_w = out_w[0, 0]
+        so = so[0, 0]
+
+        stepped = active
+        consumed = jnp.where(stepped, so[_SO_CONSUMED], pos_total - word_base * 4)
+        w_step = jnp.where(stepped, so[_SO_WRITTEN], 0)
+        err2 = err | (stepped & (so[_SO_ERR] == 1))
+        done2 = done | (stepped & (so[_SO_DONE] == 1))
+        unsup2 = unsup | (stepped & (so[_SO_UNSUP] == 1))
+        pk2 = jnp.where(stepped, so[_SO_PK], pk)
+        plen2 = jnp.where(stepped, so[_SO_PLEN], plen)
+        poff2 = jnp.where(stepped, so[_SO_POFF], poff)
+        pos_total2 = word_base * 4 + consumed
+        written_total2 = written_total + w_step
+
+        # realign prev: last 64 KiB of (prev_bytes ++ out_bytes[:w_step]),
+        # byte-exact (w_step may not be word-aligned) — a uniform-offset
+        # funnel over packed words.
+        cat = jnp.concatenate(
+            [prev[:OW_WORDS], out_w, jnp.zeros((4,), jnp.int32)]
+        )  # valid byte stream: prev 64 KiB then this window's bytes
+        sw = w_step >> 2
+        sh = (w_step & 3) * 8
+        lo = jax.lax.dynamic_slice(cat, (sw,), (PREV_PAD,))
+        hi = jax.lax.dynamic_slice(cat, (sw + 1,), (PREV_PAD,))
+        # guard the shift-by-32 edge: the sh == 0 branch ignores loz.
+        shz = jnp.maximum(sh, 8)
+        loz = (lo >> sh) & ((jnp.int32(1) << (32 - shz)) - 1)
+        merged = jnp.where(sh == 0, lo, loz | (hi << (32 - sh)))
+        prev2 = jnp.where(stepped & (w_step > 0), merged, prev)
+
+        return (
+            (pos_total2, written_total2, err2, done2, unsup2, pk2, plen2, poff2, prev2),
+            (out_w, w_step),
+        )
+
+    prev0 = jnp.zeros((PREV_PAD,), jnp.int32)
+    carry0 = (
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.bool_(False),
+        jnp.bool_(False),
+        jnp.bool_(False),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+        prev0,
+    )
+    carry, (windows, writtens) = jax.lax.scan(
+        body, carry0, None, length=n_steps
+    )
+    pos_total, written_total, err, done, unsup, pk, plen, poff, _ = carry
+    ok = (
+        done
+        & (~err)
+        & (~unsup)
+        & (written_total == declared)
+        & (pos_total == comp_len)
+    )
+    status = jnp.stack(
+        [
+            jnp.where(ok, 1, 0),
+            jnp.where(err, 1, 0),
+            jnp.where(unsup, 1, 0),
+            written_total,
+            pos_total,
+        ]
+    )
+    return windows, writtens, status
+
+
+def _n_steps(comp_len: int, declared: int) -> int:
+    # Safe bound: every step fills a 64 KiB output window or drains a
+    # ~76 KB comp window (comp-drain steps only occur for expansion
+    # ratios > ~1.17, i.e. adversarial streams).
+    need = -(-declared // (4 * OW_WORDS)) + -(-comp_len // (4 * (SC_WORDS - 64))) + 2
+    # round up to a bounded set of compile shapes: powers of two up to
+    # 256, then multiples of 256 (idle padding steps cost ~0.3 ms each).
+    for b in (4, 16, 64, 256):
+        if need <= b:
+            return b
+    return -(-need // 256) * 256
+
+
+def decode_raw_stream_bytes(body: bytes, declared: int, interpret=None):
+    """numpy-boundary convenience: decode a raw tag stream of any size.
+
+    Returns (payload bytes, reason) with reason in
+    {"ok", "invalid", "unsupported"}.
+    """
+    from . import decode_scalar
+
+    if interpret is None:
+        interpret = decode_scalar._forced_interpret()
+    comp_len = len(body)
+    w_needed = -(-comp_len // 4) + SC_WORDS + 8
+    buf = np.zeros((w_needed * 4,), dtype=np.uint8)
+    buf[:comp_len] = np.frombuffer(body, np.uint8)
+    full_words = jnp.asarray(buf.view(np.int32))
+    steps = _n_steps(comp_len, declared)
+    windows, writtens, status = decode_raw_stream(
+        full_words,
+        jnp.int32(comp_len),
+        jnp.int32(declared),
+        steps,
+        bool(interpret),
+    )
+    status = np.asarray(status)
+    if not status[0]:
+        return None, ("unsupported" if status[2] else "invalid")
+    writtens = np.asarray(writtens)
+    win_bytes = np.ascontiguousarray(np.asarray(windows)).view(np.uint8)
+    parts = []
+    for k in range(steps):
+        wk = int(writtens[k])
+        if wk:
+            parts.append(win_bytes[k, : wk].tobytes())
+    out = b"".join(parts)
+    assert len(out) == declared
+    return out, "ok"

@@ -147,3 +147,50 @@ class TestEngineScalarPath:
         assert s.decode(raw) == payload
         got, reason = engine.raw_uncompress(raw, backend="device")
         assert reason == "ok" and got == payload
+
+
+class TestStreamingRawDecoder:
+    """Windowed streaming raw decoder (ops/decode_stream.py), interpreter
+    mode: multi-window RLE (pending copies across windows), comp-window
+    refills, boundary sizes, malformed rejection."""
+
+    def _roundtrip(self, payload):
+        from snappy_tpu.ops import decode_stream
+
+        enc = s.encode(payload)
+        _, v = varint.decode_uint32(enc)
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            enc[v:], len(payload), interpret=True
+        )
+        assert reason == "ok", (reason, len(payload))
+        assert out == payload
+
+    def test_multiwindow_rle(self):
+        self._roundtrip(b"a" * 140_000)  # pending offset-1 copy across windows
+
+    def test_multiwindow_text(self):
+        self._roundtrip(
+            (b"the quick brown fox jumps over the lazy dog. " * 4000)[:140_000]
+        )
+
+    def test_comp_refill_incompressible(self):
+        # 100 KB random: compressed > the 76.8 KB comp window -> refill.
+        self._roundtrip(bytes(random.Random(9).randbytes(100_000)))
+
+    def test_window_boundaries(self):
+        for n in (65535, 65536, 65537, 131072):
+            self._roundtrip(b"q" * n)
+
+    def test_malformed_rejected(self):
+        from snappy_tpu.ops import decode_stream
+
+        good = s.encode(b"hello world hello world hello world hello")
+        _, v = varint.decode_uint32(good)
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            good[v:-3], 41, interpret=True
+        )
+        assert out is None and reason == "invalid"
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            good[v:], 40, interpret=True
+        )
+        assert out is None and reason == "invalid"
