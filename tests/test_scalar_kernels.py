@@ -194,3 +194,29 @@ class TestStreamingRawDecoder:
             good[v:], 40, interpret=True
         )
         assert out is None and reason == "invalid"
+
+
+    def test_multi_window_variant(self):
+        from snappy_tpu.ops import decode_stream
+
+        payload = b"ab" * 70_000  # two windows
+        enc = s.encode(payload)
+        _, v = varint.decode_uint32(enc)
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            enc[v:], len(payload), interpret=True, multi=True
+        )
+        assert reason == "ok" and out == payload
+
+    def test_multi_window_adversarial_fallback(self):
+        # 2 comp bytes per output byte: comp windows run dry mid-window,
+        # exercising the bail path (and the one-window fallback if the
+        # call budget is exhausted).
+        from snappy_tpu.ops import decode_stream
+
+        n = 150_000
+        body = b"".join(bytes([0x00, i & 0xFF]) for i in range(n))
+        want = bytes(bytearray((i & 0xFF) for i in range(n)))
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            body, n, interpret=True, multi=True
+        )
+        assert reason == "ok" and out == want
