@@ -280,15 +280,17 @@ def raw_uncompress(
         # dispatch, device-resident).  "unsupported" = a legal copy offset
         # reaching further than the 64 KiB window history (no known encoder
         # emits one) — fall through to the XLA kernels for that stream.
-        from .ops import decode_stream
+        # The kernels track positions in int32: stay clear of 2^31.
+        if declared < (1 << 31) - (1 << 21) and len(body) < (1 << 31) - (1 << 21):
+            from .ops import decode_stream
 
-        out, reason = decode_stream.decode_raw_stream_bytes(
-            bytes(body), int(declared)
-        )
-        if reason == "ok":
-            return out, "ok"
-        if reason == "invalid":
-            return None, "invalid"
+            out, reason = decode_stream.decode_raw_stream_bytes(
+                bytes(body), int(declared)
+            )
+            if reason == "ok":
+                return out, "ok"
+            if reason == "invalid":
+                return None, "invalid"
 
     c_pad = _bucket(len(body))
     comp = np.zeros((c_pad,), dtype=np.uint8)
