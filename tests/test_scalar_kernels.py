@@ -220,3 +220,27 @@ class TestStreamingRawDecoder:
             body, n, interpret=True, multi=True
         )
         assert reason == "ok" and out == want
+
+    def test_stream_mutant_decisions_match_oracle(self):
+        # Corrupted multi-window streams: accept/reject must match the
+        # scalar oracle (and bytes when accepted).
+        from snappy_tpu.ops import decode_stream
+
+        payload = (b"windowed mutation fuzz payload " * 5000)[:140_000]
+        enc = s.encode(payload)
+        _, v = varint.decode_uint32(enc)
+        base = enc[v:]
+        rng = random.Random(41)
+        for trial in range(6):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 3)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            mutant = bytes(b)
+            ref_out, ref_err = oracle.decode_all_tags(mutant, len(payload))
+            ref_ok = ref_err is None and len(ref_out) == len(payload)
+            out, reason = decode_stream.decode_raw_stream_bytes(
+                mutant, len(payload), interpret=True
+            )
+            assert (reason == "ok") == ref_ok, (trial, reason, ref_ok)
+            if ref_ok:
+                assert out == bytes(ref_out), trial
