@@ -13,17 +13,23 @@ import but before first backend use reliably forces the CPU backend.
 
 import os
 
+_TPU_TESTS = os.environ.get("SNAPPY_TPU_TPU_TESTS") == "1"
+
 # XLA flags must be in the environment before the CPU client is created.
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_TESTS and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if not _TPU_TESTS:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TESTS:
+    # SNAPPY_TPU_TPU_TESTS=1 leaves the real device available for
+    # tests/test_tpu_hardware.py (run that file in its own process).
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

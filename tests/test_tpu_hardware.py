@@ -1,0 +1,74 @@
+"""Opt-in on-hardware smoke tests for the compiled scalar-core kernels.
+
+The regular suite runs everything through the Pallas interpreter on CPU
+(tests/conftest.py pins the CPU backend — the TPU tunnel supports one
+client).  Set ``SNAPPY_TPU_TPU_TESTS=1`` and run this file in its own
+process on the TPU VM to exercise the Mosaic-compiled kernels on the real
+chip:
+
+    SNAPPY_TPU_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
+
+(The broader hardware validation lives in experiments/e4, e11, e13 — this
+file is the quick regression.)
+"""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SNAPPY_TPU_TPU_TESTS") != "1",
+    reason="set SNAPPY_TPU_TPU_TESTS=1 (and run outside the CPU-pinned suite)",
+)
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    dev = jax.devices()[0]
+    if not (dev.platform in ("tpu", "axon") or "TPU" in str(dev)):
+        pytest.skip("no TPU device")
+    return dev
+
+
+def test_chunk_roundtrip_on_chip(tpu):
+    import numpy as np
+
+    import snappy_tpu as s
+    from snappy_tpu.formats import varint
+    from snappy_tpu.ops import decode_scalar, encode_scalar
+    from snappy_tpu.testing import corpus
+
+    data = corpus.read_data("html") or (b"hardware smoke " * 4000)
+    blocks = [data[:65536], data[65536:131072]]
+
+    meta, inw = encode_scalar.pack_blocks(blocks)
+    enc_w, elen = encode_scalar.encode_blocks_words(meta, inw, 2, False)
+    elens = np.asarray(elen)[:, 0, 0]
+    encs = encode_scalar.unpack_enc(np.asarray(enc_w), elens)
+
+    dmeta, dcomp = decode_scalar.pack_chunks(encs, [len(b) for b in blocks])
+    out_w, st = decode_scalar.decode_chunks_words(dmeta, dcomp, 2, False)
+    st = np.asarray(st)
+    outs = decode_scalar.unpack_output(np.asarray(out_w), st[:, 0, 1])
+    for k, b in enumerate(blocks):
+        assert bool(st[k, 0, 0]) and outs[k] == b, k
+
+    # cross-check against the host/default path
+    full = varint.encode_uint32(len(blocks[0])) + encs[0]
+    assert s.decode(full) == blocks[0]
+
+
+def test_stream_decode_on_chip(tpu):
+    import snappy_tpu as s
+    from snappy_tpu.formats import varint
+    from snappy_tpu.ops import decode_stream
+
+    payload = (b"on-chip streaming smoke " * 12000)[:250_000]
+    enc = s.encode(payload)
+    _, v = varint.decode_uint32(enc)
+    out, reason = decode_stream.decode_raw_stream_bytes(
+        enc[v:], len(payload), interpret=False
+    )
+    assert reason == "ok" and out == payload
