@@ -1,7 +1,7 @@
 """Snappy tag-stream decoder on the TPU scalar core (Pallas, SMEM-resident).
 
 Why a *scalar* kernel on a vector machine: LZ77 decode is a data-dependent
-byte-pointer walk.  Measured on this part (see experiments/e1*-e3*):
+byte-pointer walk.  Measured on this part (see experiments/e1*-e3*, e14*):
 
 * XLA lowers arbitrary gathers to a serialized scalar loop at ~90 ns per
   element, so the round-1 array-parallel decoder (speculative parse +
@@ -10,23 +10,40 @@ byte-pointer walk.  Measured on this part (see experiments/e1*-e3*):
 * A gather expressed as int8 one-hot matmuls does ride the MXU, but the
   (64K x 512) @ (512 x 128) shape reaches only 3.1 TMAC/s (vs 43 TMAC/s for
   square int8 matmuls), capping that route at ~65 MB/s.
-* The TPU's scalar core, driving SMEM directly inside a Pallas kernel,
-  walks real tag streams at ~38 ns/tag and copies SMEM words at ~14
-  ns/word — two orders of magnitude faster than either vector route.
+* VPU vector copies (dynamic lane rotate + masked RMW stores) stream long
+  runs at ~30 GB/s but pay ~160 ns of dependent-chain latency per segment
+  (experiments/e14b) — a loss on real corpora where segments average
+  9-16 bytes.  The scalar core walks tag streams at ~1-2 ns per operation.
 
 So the production device decoder is the reference's sequential algorithm
 (decoder.nim:20-155 semantics, re-derived) running on the scalar core, with
 chunk-level data parallelism from the grid: each grid step decodes one
-independent ≤64 KiB chunk, and Pallas pipelines the HBM<->SMEM transfers of
-step k+1 under the compute of step k.  Multi-chunk batches amortize the
-~0.8 ms per-call dispatch overhead of this environment.
+independent <= 64 KiB chunk.  Multi-chunk batches amortize the ~0.8 ms
+per-call dispatch overhead of this environment.
 
-Layout: compressed bytes and output both live in SMEM packed as int32
-words (SMEM is word-addressed; byte access = shift/mask).  The copy loops
-run word-at-a-time with unaligned source reads and aligned destination
-writes; overlapping copies with offset < 4 take a byte loop (offsets 1, 2
-seed a pattern word first — the scalar analog of the reference's
-pattern-doubling fast path, decoder.nim:130-144).
+v2 design (experiments/e15 breakdown: parse ~73 ns/tag, branch dispatch
+~15 ns per taken/not-taken branch on the in-order scalar pipeline):
+
+* **Tag LUT**: a 256-entry table in SMEM maps the tag byte straight to
+  (header length, literal flag, needs-extension flag, base length, copy-1
+  offset-base) plus a second 256-entry extension mask — replacing the
+  select chains of the field decode (decoder.nim:48-109) with two loads.
+* **Unified buffer**: the compressed bytes are DMA'd from HBM into the
+  front of one SMEM scratch buffer whose tail is the output window, so a
+  literal (source = comp) and a far copy (source = out) share a single
+  address computation and ONE emit path — no literal/copy branch.
+* **Branchless dispatch**: invalid tags and near copies (offset < 4)
+  redirect the emit's destination to a scratch slot (a select, not a
+  branch) and clamp the length; the only conditional branch left in the
+  hot loop is the rare near-copy arm (pattern replication, the scalar
+  analog of decoder.nim:130-144).
+
+Layout: everything is int32 words (SMEM is word-addressed; byte access =
+shift/mask).  The copy loop runs word-at-a-time with unaligned source
+reads and aligned destination writes and over-writes up to 7 bytes past a
+segment end (always at positions >= the running cursor, so later segments
+repair them — the same trick as the reference's unconditional 16-byte
+literal bursts, encoder.nim:58-62).
 
 Validation parity (all return err -> ok=False for the chunk):
   * truncated tag headers / length extensions (decoder.nim:54-79)
@@ -47,333 +64,329 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Compressed capacity: max_compressed_len(65536) = 76490 bytes -> words.
-C_WORDS = 19200  # 76800 bytes
-OUT_WORDS = 16384  # 65536 bytes
-# The copy engine over-writes up to 7 bytes past a segment end and its
-# word reads may touch one word past that — pad the SMEM output buffer.
-OUT_PAD_WORDS = OUT_WORDS + 4
+# Compressed capacity: max_compressed_len(65536) = 76490 bytes.  The HBM
+# slab and SMEM comp window are padded to a 1024-word multiple (Mosaic DMA
+# alignment: HBM offsets and slice shapes align to 1024 int32 words).
+C_WORDS = 19200        # capacity bound used by callers (76800 bytes)
+CW_PAD = 19456         # comp words per chunk (19 * 1024)
+OUT_WORDS = 16384      # 65536 bytes (16 * 1024)
+SCR_WORDS = 32         # dead-store scratch + spec-store spill margin
+BUF_WORDS = CW_PAD + OUT_WORDS + SCR_WORDS
 # Raw-stream variant: one window of up to 128 KiB output with up to
 # max_compressed_len(131072) = 153146 compressed bytes, all SMEM-resident.
 # (Raw streams larger than this fall back; the framed format is the
 # parallel production path for large payloads.)
-RAW_C_WORDS = 38400   # 153600 bytes
-RAW_OUT_WORDS = 32768  # 131072 bytes
-RAW_OUT_PAD_WORDS = RAW_OUT_WORDS + 4
+RAW_C_WORDS = 38400    # capacity bound (153600 bytes)
+RAW_CW_PAD = 38912     # 38 * 1024
+RAW_OUT_WORDS = 32768  # 131072 bytes (32 * 1024)
 _I32 = jnp.int32
 
+# LUT field packing: hdr[0:3] | is_lit[3] | needs_ext[4] | base_len[5:12]
+# | copy1_offset_base[12:23]; entries 256..511 hold the literal-extension
+# byte mask ((1 << 8*ex) - 1, or -1 for the 4-byte extension).
+_LUT_HDR_MASK = 7
+_LUT_LIT = 8
+_LUT_EXT = 16
 
-def _kernel(meta_ref, comp_ref, out_ref, status_ref):
-    """Decode one chunk per grid step.
 
-    meta_ref:   SMEM [1, 1, 2] int32 — (comp_len, out_len) in bytes
-    comp_ref:   SMEM [1, 1, C_WORDS + 4] int32 — packed LE bytes, zero-pad
-    out_ref:    SMEM [1, 1, OUT_WORDS] int32 — packed output
-    status_ref: SMEM [1, 1, 2] int32 — (ok, written)
-    """
-    n = meta_ref[0, 0, 0]
-    m = meta_ref[0, 0, 1]
-
-    # Size-agnostic: capacities come from the ref shapes, so the same body
-    # serves the 64 KiB chunk decoder and the 128 KiB raw-stream variant.
-    MAXB = 4 * (comp_ref.shape[2] - 4)
-    out_pad_words = out_ref.shape[2]
-
-    def gbyte(p):
-        w = comp_ref[0, 0, p >> 2]
-        return (w >> ((p & 3) * 8)) & 255
-
-    def _funnel(wa, wb, sh):
-        # int32 >> is arithmetic; mask off the sign-extension bits before
-        # merging the high word.
-        lo = (wa >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
-        return jax.lax.select(sh == 0, wa, lo | (wb << (32 - sh)))
-
-    def gword_comp(p):
-        """Unaligned LE word at byte offset p of the compressed stream."""
-        wa = comp_ref[0, 0, p >> 2]
-        wb = comp_ref[0, 0, (p >> 2) + 1]
-        return _funnel(wa, wb, (p & 3) * 8)
-
-    def gword_out(p):
-        wa = out_ref[0, 0, p >> 2]
-        wb = out_ref[0, 0, jnp.minimum((p >> 2) + 1, out_pad_words - 1)]
-        return _funnel(wa, wb, (p & 3) * 8)
-
-    def gbyte_out(p):
-        w = out_ref[0, 0, p >> 2]
-        return (w >> ((p & 3) * 8)) & 255
-
-    def pbyte_out(p, v):
-        wi = p >> 2
-        sh = (p & 3) * 8
-        w = out_ref[0, 0, wi]
-        out_ref[0, 0, wi] = (w & ~(255 << sh)) | ((v & 255) << sh)
-
-    def emit(dst0, length, make_load):
-        """Write ``length`` bytes at dst0.
-
-        ``make_load(src_off)`` returns a loader ``g(o)`` yielding the LE
-        word at source offset ``src_off + o`` — o advances in multiples of
-        4, so the loader hoists its funnel shift/mask once per segment
-        (the shift is constant along a segment; recomputing it per word
-        was ~20% of decode time).
-
-        Over-writes up to 7 bytes past the segment end (always at
-        positions >= the running cursor, so later segments repair them —
-        the same trick as the reference's unconditional 16-byte literal
-        bursts, encoder.nim:58-62).  No loop entry for the common <= 8
-        byte tags; longer segments run an aligned-destination loop (plain
-        word stores, no read-merge-write).
-        """
-        sh_d = (dst0 & 3) * 8
-        keep_d = (jnp.int32(1) << sh_d) - 1
-
-        def store_u(p, v):
-            # 4-byte store at p (p ≡ dst0 mod 4): merge masks hoisted.
-            wi = p >> 2
-            lo = out_ref[0, 0, wi]
-            out_ref[0, 0, wi] = (lo & keep_d) | (v << sh_d)
-            hi = out_ref[0, 0, wi + 1]
-            # (v >> 31 >> 1) avoids the undefined shift-by-32 when sh_d==0.
-            spill = (v >> (31 - sh_d) >> 1) & keep_d
-            out_ref[0, 0, wi + 1] = (hi & ~keep_d) | spill
-
-        g0 = make_load(jnp.int32(0))
-        store_u(dst0, g0(jnp.int32(0)))
-
-        @pl.when(length > 4)
-        def _():
-            store_u(dst0 + 4, g0(jnp.int32(4)))
-
-        @pl.when(length > 8)
-        def _():
-            # Restart at the last aligned destination address <= dst0+8;
-            # the overlapped bytes are re-written with identical values
-            # (copy loads lag the cursor by >= 4, so re-reads see final
-            # data), keeping the loop stores aligned single writes.
-            o0 = (((dst0 + 8) >> 2) << 2) - dst0  # in [5, 8]
-            g1 = make_load(o0)
-            wi0 = (dst0 + o0) >> 2
-            rem = length - o0
-
-            def body(s):
-                k, wi = s
-                out_ref[0, 0, wi] = g1(k)
-                out_ref[0, 0, wi + 1] = g1(k + 4)
-                return k + 8, wi + 2
-
-            jax.lax.while_loop(
-                lambda s: s[0] < rem, body, (jnp.int32(0), wi0)
-            )
-
-    def make_load_comp(base):
-        def make(off):
-            b2 = base + off
-            bw = b2 >> 2
-            sh = (b2 & 3) * 8
-            m = (jnp.int32(1) << (32 - sh)) - 1
-
-            def g(o):
-                wi = bw + (o >> 2)
-                wa = comp_ref[0, 0, wi]
-                wb = comp_ref[0, 0, wi + 1]
-                return jax.lax.select(
-                    sh == 0, wa, ((wa >> sh) & m) | (wb << (32 - sh))
-                )
-
-            return g
-
-        return make
-
-    def make_load_out(base):
-        def make(off):
-            b2 = base + off
-            bw = b2 >> 2
-            sh = (b2 & 3) * 8
-            m = (jnp.int32(1) << (32 - sh)) - 1
-
-            def g(o):
-                wi = bw + (o >> 2)
-                wa = out_ref[0, 0, wi]
-                wb = out_ref[0, 0, jnp.minimum(wi + 1, out_pad_words - 1)]
-                return jax.lax.select(
-                    sh == 0, wa, ((wa >> sh) & m) | (wb << (32 - sh))
-                )
-
-            return g
-
-        return make
-
-    def do_literal(pos, w, hdr, length):
-        # Runs only on validated tags: base+length <= n, and speculative
-        # reads stop before the padded tail ends.
-        emit(w, length, make_load_comp(pos + hdr))
-
-    def do_copy_far(w, off, length):
-        # off >= 4: word reads lag the write cursor by >= 4 bytes, so
-        # every load sees already-written output (the sequencing makes
-        # self-overlapping copies with off >= 4 correct).
-        emit(w, length, make_load_out(w - off))
-
-    def do_copy_near(w, off, length):
-        # off in {1, 2, 3}: the run is periodic.  off 1 and 2 replicate
-        # as a constant pattern word (scalar analog of the reference's
-        # pattern-doubling, decoder.nim:130-144); off 3 takes the byte
-        # loop (copy lengths are <= 64).
-        b0 = gbyte_out(w - off)
-        b1 = gbyte_out(w - off + (off >> 1))  # second byte when off == 2
-        pat1 = b0 * jnp.int32(0x01010101)
-        pat2 = b0 | (b1 << 8) | (b0 << 16) | (b1 << 24)
-        pat2s = b1 | (b0 << 8) | (b1 << 16) | (b0 << 24)  # odd-offset phase
-
-        @pl.when(off != 3)
-        def _():
-            pa = jax.lax.select(off == 1, pat1, pat2)
-            pb = jax.lax.select(off == 1, pat1, pat2s)
-
-            def make(off2):
-                # source-offset parity is constant along the segment
-                pv = jax.lax.select((off2 & 1) == 0, pa, pb)
-                return lambda o: pv
-
-            emit(w, length, make)
-
-        @pl.when(off == 3)
-        def _():
-            def body(i, carry):
-                pbyte_out(w + i, gbyte_out(w - 3 + i))
-                return carry
-
-            jax.lax.fori_loop(0, length, body, 0)
-
-    def tag_step(state):
-        pos, w, err = state
-        # pos <= n always (guarded advance), and speculative reads reach at
-        # most pos+8 < the zero-padded tail — no clamp needed.
-        p = pos
-        b = gbyte(p)
+@functools.cache
+def _host_lut() -> np.ndarray:
+    """256-entry tag-decode table + 256-entry extension masks (numpy —
+    jnp arrays created inside a trace must not be cached)."""
+    lut = np.zeros(512, np.int32)
+    for b in range(256):
         t = b & 3
         lc = b >> 2
-        is_lit = t == 0
+        if t == 0:  # literal (decoder.nim:48-79)
+            if lc < 60:
+                hdr, ln, needs, ex = 1, lc + 1, 0, 0
+            else:
+                ex = lc - 59
+                hdr, ln, needs = 1 + ex, 1, 1
+            lut[b] = hdr | _LUT_LIT | (needs << 4) | (ln << 5)
+            lut[256 + b] = -1 if ex == 4 else (1 << (8 * ex)) - 1
+        elif t == 1:  # copy with 1-byte extra (decoder.nim:87-95)
+            lut[b] = 2 | ((4 + (lc & 7)) << 5) | (((b & 0xE0) << 3) << 12)
+        elif t == 2:  # copy with 2-byte offset (decoder.nim:97-102)
+            lut[b] = 3 | ((1 + lc) << 5)
+        else:  # copy with 4-byte offset (decoder.nim:104-109)
+            lut[b] = 5 | ((1 + lc) << 5)
+    return lut
 
-        # --- literal fields (decoder.nim:48-79) ---
-        ex = jnp.clip(lc - 59, 0, 4)
-        ext_word = gword_comp(p + 1)
-        emask = jax.lax.select(ex == 4, jnp.int32(-1), (jnp.int32(1) << (ex * 8)) - 1)
-        ext_val = ext_word & emask
-        # uint32 wraparound (ext_val == 0xffffffff) and lengths >= 2^31
-        # cannot fit any 64 KiB output: treat sign bit as error.
-        lit_wrap = is_lit & (lc >= 60) & (ext_val < 0)
-        lit_len = jax.lax.select(lc < 60, lc + 1, ext_val + 1)
-        # header length: literal 1+ex; copies 1+t except tagCopy4's 5 bytes
-        # (t + (t>>1 & t&1) maps 1,2,3 -> 1,2,4).
-        hdr = jax.lax.select(is_lit, 1 + ex, 1 + t + ((t >> 1) & t & 1))
 
-        # --- copy fields (decoder.nim:87-109) ---
-        e1 = ext_word & 255
-        off = jax.lax.select(
-            t == 1,
-            ((b & 0xE0) << 3) | e1,
-            ext_word,  # copy2: low 2 bytes; copy4: all 4 (ext_word at p+1)
+def _make_kernel(cw_pad: int, out_words: int):
+    out_base_b = 4 * cw_pad                      # byte offset of out window
+    scr_b = 4 * (cw_pad + out_words + 4)         # dead-store byte offset
+    maxb = 4 * cw_pad
+
+    def _kernel(lut_ref, meta_ref, comp_ref, out_ref, status_ref,
+                buf_ref, sem_in, sem_out):
+        """Decode one chunk per grid step.
+
+        lut_ref:    SMEM [512] int32 — tag LUT (+ ext masks)
+        meta_ref:   SMEM [1, 1, 2] int32 — (comp_len, out_len) in bytes
+        comp_ref:   ANY  [nb * cw_pad] int32 — packed LE bytes per chunk
+        out_ref:    ANY  [nb * out_words] int32 — packed output
+        status_ref: SMEM [1, 1, 2] int32 — (ok, written)
+        buf_ref:    SMEM scratch [cw_pad + out_words + SCR_WORDS] int32
+        """
+        i = pl.program_id(0)
+        n = meta_ref[0, 0, 0]
+        m = meta_ref[0, 0, 1]
+
+        copy_in = pltpu.make_async_copy(
+            comp_ref.at[pl.ds(i * cw_pad, cw_pad)],
+            buf_ref.at[pl.ds(0, cw_pad)],
+            sem_in,
         )
-        off = jax.lax.select(t == 2, ext_word & 0xFFFF, off)
-        cl = jax.lax.select(t == 1, 4 + (lc & 7), 1 + lc)
+        copy_in.start()
+        copy_in.wait()
 
-        length = jax.lax.select(is_lit, lit_len, cl)
-        consumed = hdr + jax.lax.select(is_lit, length, 0)
+        def gbyte(p):
+            w = buf_ref[p >> 2]
+            return (w >> ((p & 3) * 8)) & 255
 
-        # --- validation ---
-        bad = lit_wrap
-        bad |= is_lit & (lit_len < 0)
-        # input overrun: tag bytes + literal payload must fit comp_len
-        bad |= (pos + jnp.minimum(consumed, MAXB) > n) | (consumed < 0)
-        # output overrun
-        bad |= (length > m - w)
-        # copy offset rules: 0 < off <= w  (negative int32 = huge uint32)
-        bad |= (~is_lit) & ((off <= 0) | (off > w))
+        def gword(p):
+            """Unaligned LE word at byte offset p of the buffer."""
+            wa = buf_ref[p >> 2]
+            wb = buf_ref[(p >> 2) + 1]
+            sh = (p & 3) * 8
+            lo = (wa >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
+            return jax.lax.select(sh == 0, wa, lo | (wb << (32 - sh)))
 
-        def run_copy(_):
-            @pl.when(is_lit)
+        def gbyte_out(p):
+            return gbyte(out_base_b + p)
+
+        def pbyte_out(p, v):
+            wi = (out_base_b + p) >> 2
+            sh = ((p & 3)) * 8
+            w = buf_ref[wi]
+            buf_ref[wi] = (w & ~(255 << sh)) | ((v & 255) << sh)
+
+        def emit(dst0, length, make_load):
+            """Write ``length`` bytes at buffer byte offset dst0.
+
+            ``make_load(src_off)`` returns a loader ``g(o)`` yielding the
+            LE word at source offset ``src_off + o`` — o advances in
+            multiples of 4, so the loader hoists its funnel shift/mask
+            once per segment.  Over-writes up to 7 bytes past the segment
+            end (repaired by later segments).  For copy sources the word
+            reads lag the write cursor by >= 4 bytes, so off >= 4
+            self-overlapping copies are correct by store/load sequencing.
+            """
+            sh_d = (dst0 & 3) * 8
+            keep_d = (jnp.int32(1) << sh_d) - 1
+
+            def store_u(p, v):
+                wi = p >> 2
+                lo = buf_ref[wi]
+                buf_ref[wi] = (lo & keep_d) | (v << sh_d)
+                hi = buf_ref[wi + 1]
+                # (v >> 31 >> 1) avoids the undefined shift-by-32 at sh_d==0
+                spill = (v >> (31 - sh_d) >> 1) & keep_d
+                buf_ref[wi + 1] = (hi & ~keep_d) | spill
+
+            g0 = make_load(jnp.int32(0))
+            store_u(dst0, g0(jnp.int32(0)))
+            # Unconditional second store: bytes past the segment end land
+            # at positions >= the cursor and are repaired later, so the
+            # length > 4 test would only save work, and the branch costs
+            # more than the store on the in-order scalar pipeline.
+            store_u(dst0 + 4, g0(jnp.int32(4)))
+
+            @pl.when(length > 8)
             def _():
-                do_literal(pos, w, hdr, length)
+                # Restart at the last aligned destination address <=
+                # dst0+8; overlapped bytes re-write identical values.
+                o0 = (((dst0 + 8) >> 2) << 2) - dst0  # in [5, 8]
+                g1 = make_load(o0)
+                wi0 = (dst0 + o0) >> 2
+                rem = length - o0
 
-            @pl.when((~is_lit) & (off >= 4))
+                def body(s):
+                    k, wi = s
+                    buf_ref[wi] = g1(k)
+                    buf_ref[wi + 1] = g1(k + 4)
+                    return k + 8, wi + 2
+
+                jax.lax.while_loop(
+                    lambda s: s[0] < rem, body, (jnp.int32(0), wi0)
+                )
+
+        def make_load(base):
+            def make(off):
+                b2 = base + off
+                bw = b2 >> 2
+                sh = (b2 & 3) * 8
+                mm = (jnp.int32(1) << (32 - sh)) - 1
+
+                def g(o):
+                    wi = bw + (o >> 2)
+                    wa = buf_ref[wi]
+                    wb = buf_ref[jnp.minimum(wi + 1, BUF_CAP - 1)]
+                    return jax.lax.select(
+                        sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
+                    )
+
+                return g
+
+            return make
+
+        BUF_CAP = cw_pad + out_words + SCR_WORDS
+
+        def do_copy_near(w, off, length):
+            # off in {1, 2, 3}: the run is periodic.  off 1 and 2
+            # replicate as a constant pattern word (scalar analog of the
+            # reference's pattern-doubling, decoder.nim:130-144); off 3
+            # takes the byte loop (copy lengths are <= 64).
+            b0 = gbyte_out(w - off)
+            b1 = gbyte_out(w - off + (off >> 1))  # second byte when off == 2
+            pat1 = b0 * jnp.int32(0x01010101)
+            pat2 = b0 | (b1 << 8) | (b0 << 16) | (b1 << 24)
+            pat2s = b1 | (b0 << 8) | (b1 << 16) | (b0 << 24)
+
+            @pl.when(off != 3)
             def _():
-                do_copy_far(w, off, length)
+                pa = jax.lax.select(off == 1, pat1, pat2)
+                pb = jax.lax.select(off == 1, pat1, pat2s)
 
-            @pl.when((~is_lit) & (off < 4))
+                def make(off2):
+                    # source-offset parity is constant along the segment
+                    pv = jax.lax.select((off2 & 1) == 0, pa, pb)
+                    return lambda o: pv
+
+                emit(out_base_b + w, length, make)
+
+            @pl.when(off == 3)
+            def _():
+                def body(j, carry):
+                    pbyte_out(w + j, gbyte_out(w - 3 + j))
+                    return carry
+
+                jax.lax.fori_loop(0, length, body, 0)
+
+        def tag_step(state):
+            pos, w, err = state
+            b = gbyte(pos)
+            e = lut_ref[b]
+            em = lut_ref[256 + b]
+            hdr = e & _LUT_HDR_MASK
+            is_lit = (e & _LUT_LIT) != 0
+            needs = (e & _LUT_EXT) != 0
+            lenb = (e >> 5) & 127
+            off_base = (e >> 12) & 0x7FF
+
+            # ext_word covers the literal length extension and the copy
+            # offset bytes alike (both start at pos+1).
+            ext_word = gword(pos + 1)
+            ext_val = ext_word & em
+            # uint32 wraparound (ext_val == 0xffffffff) and lengths >= 2^31
+            # cannot fit any 64 KiB output: treat sign bit as error.
+            length = jax.lax.select(needs, ext_val + 1, lenb)
+            consumed = hdr + jax.lax.select(is_lit, length, 0)
+            t = b & 3
+            off = jax.lax.select(
+                t == 1,
+                off_base | (ext_word & 255),
+                jax.lax.select(t == 2, ext_word & 0xFFFF, ext_word),
+            )
+
+            # --- validation (decoder.nim:54-79, 111-113) ---
+            bad = needs & (ext_val < 0)
+            bad |= (pos + jnp.minimum(consumed, maxb) > n) | (consumed < 0)
+            bad |= length > m - w
+            bad |= (~is_lit) & ((off <= 0) | (off > w))
+
+            # --- branchless main emit: literal or far copy ---
+            near = (~is_lit) & (off < 4)
+            redirect = bad | near
+            src = jax.lax.select(is_lit, pos + hdr, out_base_b + w - off)
+            # A malformed tagCopy4 offset is an arbitrary 32-bit value (and
+            # tagCopy2 up to 65535 > w), so before validation masks the
+            # emit, src must be clamped into the buffer on BOTH sides —
+            # redirected emits still *read* from src.
+            src = jnp.clip(src, 0, jnp.int32(4 * (BUF_CAP - 4)))
+            dst = jax.lax.select(redirect, jnp.int32(scr_b), out_base_b + w)
+            ln_eff = jax.lax.select(bad, jnp.int32(4), length)
+            emit(dst, ln_eff, make_load(src))
+
+            @pl.when(near & ~bad)
             def _():
                 do_copy_near(w, off, length)
 
-            return 0
+            pos2 = jax.lax.select(bad, pos, pos + consumed)
+            w2 = jax.lax.select(bad, w, w + length)
+            return pos2, w2, err | bad
 
-        @pl.when(~bad)
-        def _():
-            run_copy(0)
+        def cond(state):
+            pos, w, err = state
+            return (pos < n) & (~err)
 
-        pos2 = jax.lax.select(bad, pos, pos + consumed)
-        w2 = jax.lax.select(bad, w, w + length)
-        return pos2, w2, err | bad
+        pos, w, err = jax.lax.while_loop(
+            cond, tag_step, (jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+        )
+        ok = (~err) & (pos == n) & (w == m)
+        status_ref[0, 0, 0] = jax.lax.select(ok, jnp.int32(1), jnp.int32(0))
+        status_ref[0, 0, 1] = w
 
-    def cond(state):
-        pos, w, err = state
-        return (pos < n) & (~err)
+        copy_out = pltpu.make_async_copy(
+            buf_ref.at[pl.ds(cw_pad, out_words)],
+            out_ref.at[pl.ds(i * out_words, out_words)],
+            sem_out,
+        )
+        copy_out.start()
+        copy_out.wait()
 
-    # One tag per iteration: a 2x-unrolled variant measured marginally
-    # SLOWER (175 vs 169 ms on the 12.6 MB batch) at 10x the compile time —
-    # the while-loop overhead is not where the cycles go.
-    pos, w, err = jax.lax.while_loop(
-        cond, tag_step, (jnp.int32(0), jnp.int32(0), jnp.bool_(False))
-    )
-    ok = (~err) & (pos == n) & (w == m)
-    status_ref[0, 0, 0] = jax.lax.select(ok, jnp.int32(1), jnp.int32(0))
-    status_ref[0, 0, 1] = w
+    return _kernel
 
 
-def _call(meta, comp_words, nb: int, interpret: bool):
-    c_total = comp_words.shape[2]
-    out_pad = OUT_PAD_WORDS if c_total == C_WORDS + 4 else RAW_OUT_PAD_WORDS
-    return pl.pallas_call(
-        _kernel,
+def _call(lut, meta, comp_words, nb: int, cw_pad: int, out_words: int,
+          interpret: bool):
+    out_flat, status = pl.pallas_call(
+        _make_kernel(cw_pad, out_words),
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec((512,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 1, c_total), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(
-                (1, 1, out_pad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nb, 1, out_pad), jnp.int32),
+            jax.ShapeDtypeStruct((nb * out_words,), jnp.int32),
             jax.ShapeDtypeStruct((nb, 1, 2), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.SMEM((cw_pad + out_words + SCR_WORDS,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(meta, comp_words)
+    )(lut, meta, comp_words)
+    return out_flat.reshape(nb, 1, out_words), status
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _decode_chunks_words_jit(meta, comp_words, nb: int, interpret: bool):
-    return _call(meta, comp_words, nb, interpret)
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _decode_chunks_words_jit(lut, meta, comp_words, nb: int, cw_pad: int,
+                             out_words: int, interpret: bool):
+    return _call(lut, meta, comp_words, nb, cw_pad, out_words, interpret)
 
 
 def decode_chunks_words(meta, comp_words, nb: int, interpret=None):
     """Decode ``nb`` independent tag streams.
 
     meta:       int32 [nb, 1, 2] — (comp_len, declared_out_len) per chunk
-    comp_words: int32 [nb, 1, C_WORDS + 4] — packed LE bytes, zero-padded
-
-    Returns (out_words [nb, 1, OUT_PAD_WORDS], status [nb, 1, 2]) where
+    comp_words: int32 [nb * CW_PAD] — packed LE bytes, zero-padded
+    Returns (out_words [nb, 1, OUT_WORDS], status [nb, 1, 2]) where
     status[:, 0, 0] is the ok flag and status[:, 0, 1] the written length.
     """
     if interpret is None:
         interpret = _forced_interpret()
-    return _decode_chunks_words_jit(meta, comp_words, nb, bool(interpret))
+    return _decode_chunks_words_jit(
+        _host_lut(), meta, comp_words, nb, CW_PAD, OUT_WORDS, bool(interpret)
+    )
 
 
 def _forced_interpret() -> bool:
@@ -403,17 +416,17 @@ def pack_chunks(bodies, declared):
 
     bodies: list of bytes (tag streams, each <= 4*C_WORDS)
     declared: list of declared output lengths (each <= 4*OUT_WORDS)
-    Returns (meta [nb,1,2] int32, comp_words [nb,1,C_WORDS+4] int32).
+    Returns (meta [nb,1,2] int32, comp_words [nb*CW_PAD] int32).
     """
     nb = len(bodies)
-    comp = np.zeros((nb, 1, 4 * (C_WORDS + 4)), dtype=np.uint8)
+    comp = np.zeros((nb, 4 * CW_PAD), dtype=np.uint8)
     meta = np.zeros((nb, 1, 2), dtype=np.int32)
     for k, body in enumerate(bodies):
         arr = np.frombuffer(body, dtype=np.uint8)
-        comp[k, 0, : len(arr)] = arr
+        comp[k, : len(arr)] = arr
         meta[k, 0, 0] = len(arr)
         meta[k, 0, 1] = declared[k]
-    return meta, comp.view(np.int32)
+    return meta, comp.reshape(-1).view(np.int32)
 
 
 def unpack_output(out_words: np.ndarray, written) -> list:
@@ -428,9 +441,9 @@ def unpack_output(out_words: np.ndarray, written) -> list:
 def pack_raw(body: bytes, declared: int):
     """Pack one raw tag stream into the big-window layout
     (comp <= 4*RAW_C_WORDS, declared <= 4*RAW_OUT_WORDS)."""
-    comp = np.zeros((1, 1, 4 * (RAW_C_WORDS + 4)), dtype=np.uint8)
+    comp = np.zeros((4 * RAW_CW_PAD,), dtype=np.uint8)
     arr = np.frombuffer(body, dtype=np.uint8)
-    comp[0, 0, : len(arr)] = arr
+    comp[: len(arr)] = arr
     meta = np.asarray([[[len(arr), declared]]], dtype=np.int32)
     return meta, comp.view(np.int32)
 
@@ -439,4 +452,7 @@ def decode_raw_words(meta, comp_words, interpret=None):
     """Single raw stream, up to 128 KiB output, one SMEM window."""
     if interpret is None:
         interpret = _forced_interpret()
-    return _decode_chunks_words_jit(meta, comp_words, 1, bool(interpret))
+    return _decode_chunks_words_jit(
+        _host_lut(), meta, comp_words, 1, RAW_CW_PAD, RAW_OUT_WORDS,
+        bool(interpret)
+    )

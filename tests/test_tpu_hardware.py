@@ -60,6 +60,30 @@ def test_chunk_roundtrip_on_chip(tpu):
     assert s.decode(full) == blocks[0]
 
 
+def test_malformed_rejected_on_chip(tpu):
+    """The compiled kernel must *reject* malformed input, not trap.
+
+    Regression: a malformed tagCopy4 offset is an arbitrary 32-bit value;
+    before the src clamp in decode_scalar.tag_step, baddata3.snappy drove
+    an SMEM read far out of bounds and the chip raised INTERNAL (the
+    interpreter clamps indices, so only hardware catches this class).
+    """
+    import snappy_tpu as s
+    from snappy_tpu import config
+    from snappy_tpu.testing import corpus
+
+    prev = config.get_backend()
+    config.set_backend("device")
+    try:
+        for name in corpus.BAD_FILES:
+            data = corpus.read_data(name)
+            if data is None:
+                pytest.skip("corpus not mounted")
+            assert s.decode(data) == b"", name
+    finally:
+        config.set_backend(prev)
+
+
 def test_stream_decode_on_chip(tpu):
     import snappy_tpu as s
     from snappy_tpu.formats import varint
