@@ -65,7 +65,7 @@ _SO_POFF = 6
 _SO_UNSUP = 7  # copy offset beyond the 64 KiB window history
 
 
-def _kernel(st_ref, comp_ref, prev_ref, out_ref, so_ref):
+def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
     start = st_ref[0, 0, _SI_START]
     navail = st_ref[0, 0, _SI_NAVAIL]
     more = st_ref[0, 0, _SI_MORE] == 1
@@ -313,29 +313,29 @@ def _kernel(st_ref, comp_ref, prev_ref, out_ref, so_ref):
 
     def tag_step(s):
         pos, w, err, stop, pk, plen, poff = s
+        # LUT parse (same 256-entry table as decode_scalar: two loads
+        # replace the tag-field select chains).
         b = gbyte_c(pos)
         t = b & 3
-        lc = b >> 2
-        is_lit = t == 0
+        e = lut_ref[b]
+        em = lut_ref[256 + b]
+        hdr = e & 7
+        is_lit = (e & 8) != 0
+        needs = (e & 16) != 0
+        lenb = (e >> 5) & 127
+        off_base = (e >> 12) & 0x7FF
 
-        ex = jnp.clip(lc - 59, 0, 4)
         ext_word = gword_c(pos + 1)
-        emask = jax.lax.select(
-            ex == 4, jnp.int32(-1), (jnp.int32(1) << (ex * 8)) - 1
+        ext_val = ext_word & em
+        length = jax.lax.select(needs, ext_val + 1, lenb)
+        off = jax.lax.select(
+            t == 1,
+            off_base | (ext_word & 255),
+            jax.lax.select(t == 2, ext_word & 0xFFFF, ext_word),
         )
-        ext_val = ext_word & emask
-        lit_wrap = is_lit & (lc >= 60) & (ext_val < 0)
-        lit_len = jax.lax.select(lc < 60, lc + 1, ext_val + 1)
-        hdr = jax.lax.select(is_lit, 1 + ex, 1 + t + ((t >> 1) & t & 1))
-
-        e1 = ext_word & 255
-        off = jax.lax.select(t == 1, ((b & 0xE0) << 3) | e1, ext_word)
-        off = jax.lax.select(t == 2, ext_word & 0xFFFF, off)
-        cl = jax.lax.select(t == 1, 4 + (lc & 7), 1 + lc)
-        length = jax.lax.select(is_lit, lit_len, cl)
 
         # ---- validation (global semantics) ----
-        bad = lit_wrap | (is_lit & (lit_len < 0))
+        bad = needs & ((ext_val < 0) | (length < 0))
         # literal payload truncation when no more input follows
         pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
         bad |= is_lit & (~more) & (
@@ -399,10 +399,11 @@ def _kernel(st_ref, comp_ref, prev_ref, out_ref, so_ref):
     so_ref[0, 0, _SO_POFF] = poff
 
 
-def _call_kernel(st, comp_win, prev, interpret: bool):
+def _call_kernel(lut, st, comp_win, prev, interpret: bool):
     return pl.pallas_call(
         _kernel,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -416,7 +417,7 @@ def _call_kernel(st, comp_win, prev, interpret: bool):
             jax.ShapeDtypeStruct((1, 1, 16), jnp.int32),
         ),
         interpret=interpret,
-    )(st, comp_win, prev)
+    )(lut, st, comp_win, prev)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -431,6 +432,9 @@ def decode_raw_stream(full_words, comp_len, declared, n_steps: int, interpret: b
     Returns (windows [n_steps, OW_PAD] int32, written [n_steps] int32,
     status [5] int32: ok, err, unsupported, total_written, consumed).
     """
+    from .decode_scalar import _host_lut
+
+    lut = jnp.asarray(_host_lut())
 
     def body(carry, _):
         pos_total, written_total, err, done, unsup, pk, plen, poff, prev = carry
@@ -453,6 +457,7 @@ def decode_raw_stream(full_words, comp_len, declared, n_steps: int, interpret: b
         st = st.at[_SI_POFF].set(poff)
 
         out_w, so = _call_kernel(
+            lut,
             st.reshape(1, 1, 16),
             comp_win.reshape(1, 1, -1),
             prev.reshape(1, 1, -1),
