@@ -38,9 +38,27 @@ v2 design (experiments/e15 breakdown: parse ~73 ns/tag, branch dispatch
   hot loop is the rare near-copy arm (pattern replication, the scalar
   analog of decoder.nim:130-144).
 
+v3 emit path (experiments/e18 A/B: +14-18% on text corpora, +33-37% on
+long-literal streams vs v2; 16-byte loop strides measured no better than
+8, so strides stay at 8):
+
+* **Fused parse loads**: the tag byte and its extension word always sit
+  in the same two SMEM words — two loads and a funnel shift replace the
+  separate byte and word fetches.
+* **Offset-mask LUT bank**: ``off = off_base | (ext & lut[512+b])``
+  replaces the tag-type select chain.
+* **Fused head**: the first 8 output bytes take one read-modify-write
+  (preserving bytes below the cursor) plus clobber-allowed full-word
+  stores — everything at or past the cursor may be overwritten and is
+  repaired by later segments.
+* **Carried-word copy loops**: literals and copies with offset >= 8 run
+  a funnel loop that loads each source word once (or a plain word-copy
+  loop when the realigned source is aligned); only offsets in [4, 8)
+  pay the re-loading two-word funnel.
+
 Layout: everything is int32 words (SMEM is word-addressed; byte access =
 shift/mask).  The copy loop runs word-at-a-time with unaligned source
-reads and aligned destination writes and over-writes up to 7 bytes past a
+reads and aligned destination writes and over-writes up to 11 bytes past a
 segment end (always at positions >= the running cursor, so later segments
 repair them — the same trick as the reference's unconditional 16-byte
 literal bursts, encoder.nim:58-62).
@@ -83,17 +101,21 @@ _I32 = jnp.int32
 
 # LUT field packing: hdr[0:3] | is_lit[3] | needs_ext[4] | base_len[5:12]
 # | copy1_offset_base[12:23]; entries 256..511 hold the literal-extension
-# byte mask ((1 << 8*ex) - 1, or -1 for the 4-byte extension).
+# byte mask ((1 << 8*ex) - 1, or -1 for the 4-byte extension); entries
+# 512..767 hold the copy-offset extension mask (0 for literals, 0xFF /
+# 0xFFFF / -1 for copy-1/2/4) so the offset decode is one AND+OR instead
+# of a tag-type select chain.
 _LUT_HDR_MASK = 7
 _LUT_LIT = 8
 _LUT_EXT = 16
+LUT_WORDS = 768
 
 
 @functools.cache
 def _host_lut() -> np.ndarray:
-    """256-entry tag-decode table + 256-entry extension masks (numpy —
+    """256-entry tag-decode table + extension/offset mask banks (numpy —
     jnp arrays created inside a trace must not be cached)."""
-    lut = np.zeros(512, np.int32)
+    lut = np.zeros(LUT_WORDS, np.int32)
     for b in range(256):
         t = b & 3
         lc = b >> 2
@@ -107,23 +129,25 @@ def _host_lut() -> np.ndarray:
             lut[256 + b] = -1 if ex == 4 else (1 << (8 * ex)) - 1
         elif t == 1:  # copy with 1-byte extra (decoder.nim:87-95)
             lut[b] = 2 | ((4 + (lc & 7)) << 5) | (((b & 0xE0) << 3) << 12)
+            lut[512 + b] = 0xFF
         elif t == 2:  # copy with 2-byte offset (decoder.nim:97-102)
             lut[b] = 3 | ((1 + lc) << 5)
+            lut[512 + b] = 0xFFFF
         else:  # copy with 4-byte offset (decoder.nim:104-109)
             lut[b] = 5 | ((1 + lc) << 5)
+            lut[512 + b] = -1
     return lut
 
 
 def _make_kernel(cw_pad: int, out_words: int):
     out_base_b = 4 * cw_pad                      # byte offset of out window
     scr_b = 4 * (cw_pad + out_words + 4)         # dead-store byte offset
-    maxb = 4 * cw_pad
 
     def _kernel(lut_ref, meta_ref, comp_ref, out_ref, status_ref,
                 buf_ref, sem_in, sem_out):
         """Decode one chunk per grid step.
 
-        lut_ref:    SMEM [512] int32 — tag LUT (+ ext masks)
+        lut_ref:    SMEM [768] int32 — tag LUT (+ ext/offset masks)
         meta_ref:   SMEM [1, 1, 2] int32 — (comp_len, out_len) in bytes
         comp_ref:   ANY  [nb * cw_pad] int32 — packed LE bytes per chunk
         out_ref:    ANY  [nb * out_words] int32 — packed output
@@ -142,20 +166,9 @@ def _make_kernel(cw_pad: int, out_words: int):
         copy_in.start()
         copy_in.wait()
 
-        def gbyte(p):
-            w = buf_ref[p >> 2]
-            return (w >> ((p & 3) * 8)) & 255
-
-        def gword(p):
-            """Unaligned LE word at byte offset p of the buffer."""
-            wa = buf_ref[p >> 2]
-            wb = buf_ref[(p >> 2) + 1]
-            sh = (p & 3) * 8
-            lo = (wa >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
-            return jax.lax.select(sh == 0, wa, lo | (wb << (32 - sh)))
-
         def gbyte_out(p):
-            return gbyte(out_base_b + p)
+            w = buf_ref[(out_base_b + p) >> 2]
+            return (w >> ((p & 3) * 8)) & 255
 
         def pbyte_out(p, v):
             wi = (out_base_b + p) >> 2
@@ -163,17 +176,114 @@ def _make_kernel(cw_pad: int, out_words: int):
             w = buf_ref[wi]
             buf_ref[wi] = (w & ~(255 << sh)) | ((v & 255) << sh)
 
-        def emit(dst0, length, make_load):
-            """Write ``length`` bytes at buffer byte offset dst0.
+        BUF_CAP = cw_pad + out_words + SCR_WORDS
 
-            ``make_load(src_off)`` returns a loader ``g(o)`` yielding the
-            LE word at source offset ``src_off + o`` — o advances in
-            multiples of 4, so the loader hoists its funnel shift/mask
-            once per segment.  Over-writes up to 7 bytes past the segment
-            end (repaired by later segments).  For copy sources the word
-            reads lag the write cursor by >= 4 bytes, so off >= 4
-            self-overlapping copies are correct by store/load sequencing.
+        def emit_mem(dst0, length, src0, carry_ok):
+            """Copy ``length`` bytes buf[src0:] -> buf[dst0:] (byte offsets).
+
+            Over-writes up to 11 bytes past the segment end at positions
+            >= the cursor (repaired by later segments, same trick as the
+            reference's unconditional literal bursts, encoder.nim:58-62).
+            The head commits all of v0 before loading v1, which makes
+            off >= 4 self-overlapping copies correct by store/load
+            sequencing; the carried-word loops additionally pre-read one
+            word ahead, so ``carry_ok`` must be False for 4 <= off < 8.
             """
+            sh_d = (dst0 & 3) * 8
+            keep_d = (jnp.int32(1) << sh_d) - 1
+            wi = dst0 >> 2
+            sw = src0 >> 2
+            sh_s = (src0 & 3) * 8
+            mm_s = (jnp.int32(1) << (32 - sh_s)) - 1
+
+            def gsrc(o):
+                wa = buf_ref[sw + (o >> 2)]
+                wb = buf_ref[sw + (o >> 2) + 1]
+                return jax.lax.select(
+                    sh_s == 0, wa, ((wa >> sh_s) & mm_s) | (wb << (32 - sh_s))
+                )
+
+            # ---- fused 8-byte head: one RMW + clobber-allowed stores ----
+            # (unconditional: bytes past the end are repaired later; a
+            # length test branch costs more than the stores)
+            v0 = gsrc(jnp.int32(0))
+            lo = buf_ref[wi]
+            buf_ref[wi] = (lo & keep_d) | (v0 << sh_d)
+            # (v >> 31 >> 1) avoids the undefined shift-by-32 at sh_d==0
+            sp0 = (v0 >> (31 - sh_d) >> 1) & keep_d
+            buf_ref[wi + 1] = sp0  # commit all of v0 before loading v1
+            v1 = gsrc(jnp.int32(4))
+            buf_ref[wi + 1] = sp0 | (v1 << sh_d)
+            buf_ref[wi + 2] = (v1 >> (31 - sh_d) >> 1) & keep_d
+
+            @pl.when(length > 8)
+            def _():
+                # Restart at the last aligned destination address <=
+                # dst0+8; overlapped bytes re-write identical values.
+                o0 = (((dst0 + 8) >> 2) << 2) - dst0  # in [5, 8]
+                rem = length - o0
+                wi0 = (dst0 + o0) >> 2
+                s0 = src0 + o0
+                sw2 = s0 >> 2
+                sh2 = (s0 & 3) * 8
+                mm2 = (jnp.int32(1) << (32 - sh2)) - 1
+
+                @pl.when(carry_ok & (sh2 == 0))
+                def _():  # aligned source: plain word copy
+                    def body(st):
+                        k, wo, si = st
+                        buf_ref[wo] = buf_ref[si]
+                        buf_ref[wo + 1] = buf_ref[si + 1]
+                        return k + 8, wo + 2, si + 2
+
+                    jax.lax.while_loop(
+                        lambda st: st[0] < rem, body, (jnp.int32(0), wi0, sw2)
+                    )
+
+                @pl.when(carry_ok & (sh2 != 0))
+                def _():  # funnel with carried word: one load per word
+                    def body(st):
+                        k, wo, si, carry = st
+                        wa = buf_ref[si]
+                        buf_ref[wo] = ((carry >> sh2) & mm2) | (wa << (32 - sh2))
+                        wb = buf_ref[si + 1]
+                        buf_ref[wo + 1] = ((wa >> sh2) & mm2) | (wb << (32 - sh2))
+                        return k + 8, wo + 2, si + 2, wb
+
+                    jax.lax.while_loop(
+                        lambda st: st[0] < rem,
+                        body,
+                        (jnp.int32(0), wi0, sw2 + 1, buf_ref[sw2]),
+                    )
+
+                @pl.when(~carry_ok)
+                def _():  # off in [4, 8): re-load funnel, reads after stores
+                    def g1(o):
+                        b2 = s0 + o
+                        wa = buf_ref[b2 >> 2]
+                        wb = buf_ref[(b2 >> 2) + 1]
+                        shx = (b2 & 3) * 8
+                        mmx = (jnp.int32(1) << (32 - shx)) - 1
+                        return jax.lax.select(
+                            shx == 0,
+                            wa,
+                            ((wa >> shx) & mmx) | (wb << (32 - shx)),
+                        )
+
+                    def body(st):
+                        k, wo = st
+                        buf_ref[wo] = g1(k)
+                        buf_ref[wo + 1] = g1(k + 4)
+                        return k + 8, wo + 2
+
+                    jax.lax.while_loop(
+                        lambda st: st[0] < rem, body, (jnp.int32(0), wi0)
+                    )
+
+        def emit_pat(dst0, length, pa, pb):
+            """Pattern emit for near copies (off 1/2).  Stride-4 stores
+            preserve period-2 parity: one pattern word per aligned stride
+            (``pb`` only when the realigned loop start is odd)."""
             sh_d = (dst0 & 3) * 8
             keep_d = (jnp.int32(1) << sh_d) - 1
 
@@ -182,57 +292,28 @@ def _make_kernel(cw_pad: int, out_words: int):
                 lo = buf_ref[wi]
                 buf_ref[wi] = (lo & keep_d) | (v << sh_d)
                 hi = buf_ref[wi + 1]
-                # (v >> 31 >> 1) avoids the undefined shift-by-32 at sh_d==0
                 spill = (v >> (31 - sh_d) >> 1) & keep_d
                 buf_ref[wi + 1] = (hi & ~keep_d) | spill
 
-            g0 = make_load(jnp.int32(0))
-            store_u(dst0, g0(jnp.int32(0)))
-            # Unconditional second store: bytes past the segment end land
-            # at positions >= the cursor and are repaired later, so the
-            # length > 4 test would only save work, and the branch costs
-            # more than the store on the in-order scalar pipeline.
-            store_u(dst0 + 4, g0(jnp.int32(4)))
+            store_u(dst0, pa)
+            store_u(dst0 + 4, pa)
 
             @pl.when(length > 8)
             def _():
-                # Restart at the last aligned destination address <=
-                # dst0+8; overlapped bytes re-write identical values.
-                o0 = (((dst0 + 8) >> 2) << 2) - dst0  # in [5, 8]
-                g1 = make_load(o0)
-                wi0 = (dst0 + o0) >> 2
+                o0 = (((dst0 + 8) >> 2) << 2) - dst0
                 rem = length - o0
+                wi0 = (dst0 + o0) >> 2
+                va = jax.lax.select((o0 & 1) == 0, pa, pb)
 
-                def body(s):
-                    k, wi = s
-                    buf_ref[wi] = g1(k)
-                    buf_ref[wi + 1] = g1(k + 4)
-                    return k + 8, wi + 2
+                def body(st):
+                    k, wo = st
+                    buf_ref[wo] = va
+                    buf_ref[wo + 1] = va
+                    return k + 8, wo + 2
 
                 jax.lax.while_loop(
-                    lambda s: s[0] < rem, body, (jnp.int32(0), wi0)
+                    lambda st: st[0] < rem, body, (jnp.int32(0), wi0)
                 )
-
-        def make_load(base):
-            def make(off):
-                b2 = base + off
-                bw = b2 >> 2
-                sh = (b2 & 3) * 8
-                mm = (jnp.int32(1) << (32 - sh)) - 1
-
-                def g(o):
-                    wi = bw + (o >> 2)
-                    wa = buf_ref[wi]
-                    wb = buf_ref[jnp.minimum(wi + 1, BUF_CAP - 1)]
-                    return jax.lax.select(
-                        sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
-                    )
-
-                return g
-
-            return make
-
-        BUF_CAP = cw_pad + out_words + SCR_WORDS
 
         def do_copy_near(w, off, length):
             # off in {1, 2, 3}: the run is periodic.  off 1 and 2
@@ -249,13 +330,7 @@ def _make_kernel(cw_pad: int, out_words: int):
             def _():
                 pa = jax.lax.select(off == 1, pat1, pat2)
                 pb = jax.lax.select(off == 1, pat1, pat2s)
-
-                def make(off2):
-                    # source-offset parity is constant along the segment
-                    pv = jax.lax.select((off2 & 1) == 0, pa, pb)
-                    return lambda o: pv
-
-                emit(out_base_b + w, length, make)
+                emit_pat(out_base_b + w, length, pa, pb)
 
             @pl.when(off == 3)
             def _():
@@ -267,7 +342,20 @@ def _make_kernel(cw_pad: int, out_words: int):
 
         def tag_step(state):
             pos, w, err = state
-            b = gbyte(pos)
+            # fused parse: the tag byte and its extension word (bytes
+            # pos+1..pos+4, covering the literal length extension and the
+            # copy offset alike) always live in the same two SMEM words.
+            w0 = buf_ref[pos >> 2]
+            w1 = buf_ref[(pos >> 2) + 1]
+            sh = (pos & 3) * 8
+            b = (w0 >> sh) & 255
+            she = sh + 8
+            ext_word = jax.lax.select(
+                she == 32,
+                w1,
+                ((w0 >> she) & ((jnp.int32(1) << (32 - she)) - 1))
+                | (w1 << (32 - she)),
+            )
             e = lut_ref[b]
             em = lut_ref[256 + b]
             hdr = e & _LUT_HDR_MASK
@@ -276,24 +364,18 @@ def _make_kernel(cw_pad: int, out_words: int):
             lenb = (e >> 5) & 127
             off_base = (e >> 12) & 0x7FF
 
-            # ext_word covers the literal length extension and the copy
-            # offset bytes alike (both start at pos+1).
-            ext_word = gword(pos + 1)
             ext_val = ext_word & em
             # uint32 wraparound (ext_val == 0xffffffff) and lengths >= 2^31
             # cannot fit any 64 KiB output: treat sign bit as error.
             length = jax.lax.select(needs, ext_val + 1, lenb)
             consumed = hdr + jax.lax.select(is_lit, length, 0)
-            t = b & 3
-            off = jax.lax.select(
-                t == 1,
-                off_base | (ext_word & 255),
-                jax.lax.select(t == 2, ext_word & 0xFFFF, ext_word),
-            )
+            off = off_base | (ext_word & lut_ref[512 + b])
 
             # --- validation (decoder.nim:54-79, 111-113) ---
             bad = needs & (ext_val < 0)
-            bad |= (pos + jnp.minimum(consumed, maxb) > n) | (consumed < 0)
+            # consumed > n - pos is overflow-safe (n - pos is small); the
+            # consumed < 0 check catches hdr + length int32 wraparound
+            bad |= (consumed > n - pos) | (consumed < 0)
             bad |= length > m - w
             bad |= (~is_lit) & ((off <= 0) | (off > w))
 
@@ -308,7 +390,8 @@ def _make_kernel(cw_pad: int, out_words: int):
             src = jnp.clip(src, 0, jnp.int32(4 * (BUF_CAP - 4)))
             dst = jax.lax.select(redirect, jnp.int32(scr_b), out_base_b + w)
             ln_eff = jax.lax.select(bad, jnp.int32(4), length)
-            emit(dst, ln_eff, make_load(src))
+            carry_ok = is_lit | (off >= 8) | redirect
+            emit_mem(dst, ln_eff, src, carry_ok)
 
             @pl.when(near & ~bad)
             def _():
@@ -346,12 +429,12 @@ def _call(lut, meta, comp_words, nb: int, cw_pad: int, out_words: int,
         _make_kernel(cw_pad, out_words),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((512,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((LUT_WORDS,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(

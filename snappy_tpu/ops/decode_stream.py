@@ -1023,7 +1023,7 @@ def _call_multi(st, comp_call, prev, interpret: bool):
         grid=(G_WINDOWS,),
         in_specs=[
             pl.BlockSpec((1, 1, 16), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, RING_WORDS), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
