@@ -17,11 +17,12 @@ Run: python experiments/e18_emit_opt.py [interpret]
 import sys, time
 sys.path.insert(0, '/root/repo')
 INTERPRET = "interpret" in sys.argv[1:]
-if INTERPRET:
-    import os
-    os.environ["JAX_PLATFORMS"] = "cpu"
 import functools
 import jax, jax.numpy as jnp, numpy as np
+if INTERPRET:
+    # env-var pinning is overridden by the axon sitecustomize; the config
+    # update after import is the reliable CPU pin (see tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compilation")

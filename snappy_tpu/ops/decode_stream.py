@@ -99,8 +99,112 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
         w = out_ref[0, 0, wi]
         out_ref[0, 0, wi] = (w & ~(255 << sh)) | ((v & 255) << sh)
 
-    # ---------------- copy engine (decode_scalar's emit) ----------------
+    # ---------------- copy engine (decode_scalar's v3 emit) ----------------
+    def _make_emit(src_ref):
+        """Fused-head + carried-word emit (see decode_scalar.emit_mem) with
+        the source in ``src_ref`` and the destination in ``out_ref``.
+        ``carry_ok`` must be False when the source is out_ref itself and
+        4 <= dst0 - src0 < 8."""
+
+        def emit_m(dst0, length, src0, carry_ok):
+            sh_d = (dst0 & 3) * 8
+            keep_d = (jnp.int32(1) << sh_d) - 1
+            wi = dst0 >> 2
+            sw = src0 >> 2
+            sh_s = (src0 & 3) * 8
+            mm_s = (jnp.int32(1) << (32 - sh_s)) - 1
+
+            def gsrc(o):
+                wa = src_ref[0, 0, sw + (o >> 2)]
+                wb = src_ref[0, 0, sw + (o >> 2) + 1]
+                return jax.lax.select(
+                    sh_s == 0, wa, ((wa >> sh_s) & mm_s) | (wb << (32 - sh_s))
+                )
+
+            v0 = gsrc(jnp.int32(0))
+            lo = out_ref[0, 0, wi]
+            out_ref[0, 0, wi] = (lo & keep_d) | (v0 << sh_d)
+            sp0 = (v0 >> (31 - sh_d) >> 1) & keep_d
+            out_ref[0, 0, wi + 1] = sp0  # commit v0 before loading v1
+            v1 = gsrc(jnp.int32(4))
+            out_ref[0, 0, wi + 1] = sp0 | (v1 << sh_d)
+            out_ref[0, 0, wi + 2] = (v1 >> (31 - sh_d) >> 1) & keep_d
+
+            @pl.when(length > 8)
+            def _():
+                o0 = (((dst0 + 8) >> 2) << 2) - dst0
+                rem = length - o0
+                wi0 = (dst0 + o0) >> 2
+                s0 = src0 + o0
+                sw2 = s0 >> 2
+                sh2 = (s0 & 3) * 8
+                mm2 = (jnp.int32(1) << (32 - sh2)) - 1
+
+                @pl.when(carry_ok & (sh2 == 0))
+                def _():
+                    def body(st):
+                        k, wo, si = st
+                        out_ref[0, 0, wo] = src_ref[0, 0, si]
+                        out_ref[0, 0, wo + 1] = src_ref[0, 0, si + 1]
+                        return k + 8, wo + 2, si + 2
+
+                    jax.lax.while_loop(
+                        lambda st: st[0] < rem, body, (jnp.int32(0), wi0, sw2)
+                    )
+
+                @pl.when(carry_ok & (sh2 != 0))
+                def _():
+                    def body(st):
+                        k, wo, si, carry = st
+                        wa = src_ref[0, 0, si]
+                        out_ref[0, 0, wo] = (
+                            ((carry >> sh2) & mm2) | (wa << (32 - sh2))
+                        )
+                        wb = src_ref[0, 0, si + 1]
+                        out_ref[0, 0, wo + 1] = (
+                            ((wa >> sh2) & mm2) | (wb << (32 - sh2))
+                        )
+                        return k + 8, wo + 2, si + 2, wb
+
+                    jax.lax.while_loop(
+                        lambda st: st[0] < rem,
+                        body,
+                        (jnp.int32(0), wi0, sw2 + 1, src_ref[0, 0, sw2]),
+                    )
+
+                @pl.when(~carry_ok)
+                def _():
+                    def g1(o):
+                        b2 = s0 + o
+                        wa = src_ref[0, 0, b2 >> 2]
+                        wb = src_ref[0, 0, (b2 >> 2) + 1]
+                        shx = (b2 & 3) * 8
+                        mmx = (jnp.int32(1) << (32 - shx)) - 1
+                        return jax.lax.select(
+                            shx == 0,
+                            wa,
+                            ((wa >> shx) & mmx) | (wb << (32 - shx)),
+                        )
+
+                    def body(st):
+                        k, wo = st
+                        out_ref[0, 0, wo] = g1(k)
+                        out_ref[0, 0, wo + 1] = g1(k + 4)
+                        return k + 8, wo + 2
+
+                    jax.lax.while_loop(
+                        lambda st: st[0] < rem, body, (jnp.int32(0), wi0)
+                    )
+
+        return emit_m
+
+    emit_comp = _make_emit(comp_ref)
+    emit_out = _make_emit(out_ref)
+    _TRUE = jnp.bool_(True)
+
     def emit(dst0, length, make_load):
+        """Generic emit for the rare prev-window / straddling copy sources
+        (make_load interface, original v2 shape)."""
         sh_d = (dst0 & 3) * 8
         keep_d = (jnp.int32(1) << sh_d) - 1
 
@@ -134,43 +238,40 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
 
             jax.lax.while_loop(lambda s: s[0] < rem, body, (jnp.int32(0), wi0))
 
-    def make_load_comp(base):
-        def make(off):
-            b2 = base + off
-            bw = b2 >> 2
-            sh = (b2 & 3) * 8
-            mm = (jnp.int32(1) << (32 - sh)) - 1
+    def emit_pat(dst0, length, pa, pb):
+        """Pattern emit for near copies (off 1/2).  Stride-4 stores
+        preserve period-2 parity: one pattern word per aligned stride
+        (``pb`` only when the realigned loop start is odd)."""
+        sh_d = (dst0 & 3) * 8
+        keep_d = (jnp.int32(1) << sh_d) - 1
 
-            def g(o):
-                wi = bw + (o >> 2)
-                wa = comp_ref[0, 0, wi]
-                wb = comp_ref[0, 0, wi + 1]
-                return jax.lax.select(
-                    sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
-                )
+        def store_u(p, v):
+            wi = p >> 2
+            lo = out_ref[0, 0, wi]
+            out_ref[0, 0, wi] = (lo & keep_d) | (v << sh_d)
+            hi = out_ref[0, 0, wi + 1]
+            spill = (v >> (31 - sh_d) >> 1) & keep_d
+            out_ref[0, 0, wi + 1] = (hi & ~keep_d) | spill
 
-            return g
+        store_u(dst0, pa)
+        store_u(dst0 + 4, pa)
 
-        return make
+        @pl.when(length > 8)
+        def _():
+            o0 = (((dst0 + 8) >> 2) << 2) - dst0
+            rem = length - o0
+            wi0 = (dst0 + o0) >> 2
+            va = jax.lax.select((o0 & 1) == 0, pa, pb)
 
-    def make_load_out(base):
-        def make(off):
-            b2 = base + off
-            bw = b2 >> 2
-            sh = (b2 & 3) * 8
-            mm = (jnp.int32(1) << (32 - sh)) - 1
+            def body(st):
+                k, wo = st
+                out_ref[0, 0, wo] = va
+                out_ref[0, 0, wo + 1] = va
+                return k + 8, wo + 2
 
-            def g(o):
-                wi = bw + (o >> 2)
-                wa = out_ref[0, 0, wi]
-                wb = out_ref[0, 0, jnp.minimum(wi + 1, OW_PAD - 1)]
-                return jax.lax.select(
-                    sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
-                )
-
-            return g
-
-        return make
+            jax.lax.while_loop(
+                lambda st: st[0] < rem, body, (jnp.int32(0), wi0)
+            )
 
     def make_load_prev(base):
         # base is a unified (negative-capable) byte offset + 65536, i.e. an
@@ -231,12 +332,7 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
             def _():
                 pa = jax.lax.select(off == 1, pat1, pat2)
                 pb = jax.lax.select(off == 1, pat1, pat2s)
-
-                def make(off2):
-                    pv = jax.lax.select((off2 & 1) == 0, pa, pb)
-                    return lambda o: pv
-
-                emit(w, length, make)
+                emit_pat(w, length, pa, pb)
 
             @pl.when(off == 3)
             def _():
@@ -248,7 +344,7 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
 
         @pl.when((off >= 4) & (base_local >= 0))
         def _():
-            emit(w, length, make_load_out(base_local))
+            emit_out(w, length, base_local, off >= 8)
 
         @pl.when((off >= 4) & (base_local + length + 8 <= 0))
         def _():
@@ -271,7 +367,7 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
         def lit(_):
             @pl.when(eff_l > 0)
             def _():
-                emit(jnp.int32(0), eff_l, make_load_comp(pos0))
+                emit_comp(jnp.int32(0), eff_l, pos0, _TRUE)
 
             rem = plen - eff_l
             return pos0 + eff_l, eff_l, jax.lax.select(rem > 0, 1, 0), rem
@@ -313,10 +409,20 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
 
     def tag_step(s):
         pos, w, err, stop, pk, plen, poff = s
-        # LUT parse (same 256-entry table as decode_scalar: two loads
-        # replace the tag-field select chains).
-        b = gbyte_c(pos)
-        t = b & 3
+        # Fused LUT parse (same table/banks as decode_scalar v3): the tag
+        # byte and its extension word always sit in the same two SMEM
+        # words; the offset decode is one AND+OR against the mask bank.
+        w0 = comp_ref[0, 0, pos >> 2]
+        w1 = comp_ref[0, 0, (pos >> 2) + 1]
+        shp = (pos & 3) * 8
+        b = (w0 >> shp) & 255
+        she = shp + 8
+        ext_word = jax.lax.select(
+            she == 32,
+            w1,
+            ((w0 >> she) & ((jnp.int32(1) << (32 - she)) - 1))
+            | (w1 << (32 - she)),
+        )
         e = lut_ref[b]
         em = lut_ref[256 + b]
         hdr = e & 7
@@ -325,14 +431,9 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
         lenb = (e >> 5) & 127
         off_base = (e >> 12) & 0x7FF
 
-        ext_word = gword_c(pos + 1)
         ext_val = ext_word & em
         length = jax.lax.select(needs, ext_val + 1, lenb)
-        off = jax.lax.select(
-            t == 1,
-            off_base | (ext_word & 255),
-            jax.lax.select(t == 2, ext_word & 0xFFFF, ext_word),
-        )
+        off = off_base | (ext_word & lut_ref[512 + b])
 
         # ---- validation (global semantics) ----
         bad = needs & ((ext_val < 0) | (length < 0))
@@ -359,7 +460,7 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
 
         @pl.when((~bad) & (eff > 0) & is_lit)
         def _():
-            emit(w, eff, make_load_comp(pos + hdr))
+            emit_comp(w, eff, pos + hdr, _TRUE)
 
         @pl.when((~bad) & (eff > 0) & (~is_lit))
         def _():

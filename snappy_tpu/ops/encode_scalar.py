@@ -63,9 +63,6 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
         wb = in_ref[0, 0, (p >> 2) + 1]
         return _funnel(wa, wb, (p & 3) * 8)
 
-    def gbyte(p):
-        return (in_ref[0, 0, p >> 2] >> ((p & 3) * 8)) & 255
-
     # ---- output writers (byte stream into packed words) -------------------
     def pbyte(p, v):
         wi = p >> 2
@@ -84,47 +81,91 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
         enc_ref[0, 0, wi + 1] = (hi & ~keep) | spill
 
     def bulk_copy(dst0, src0, length):
-        """input[src0 .. src0+length) -> enc[dst0 ..); spills <= 7 bytes
-        past the end, repaired by later writes (the stream is written
-        strictly left to right)."""
-        pword_u(dst0, load32(src0))
+        """input[src0 .. src0+length) -> enc[dst0 ..); fused 8-byte head
+        plus carried-word loops (one source load per output word — the
+        source and destination refs are disjoint, so the carry is always
+        safe); spills <= 11 bytes past the end, repaired by later writes
+        (the stream is written strictly left to right)."""
+        sh_d = (dst0 & 3) * 8
+        keep_d = (jnp.int32(1) << sh_d) - 1
+        wi = dst0 >> 2
+        sw = src0 >> 2
+        sh_s = (src0 & 3) * 8
+        mm_s = (jnp.int32(1) << (32 - sh_s)) - 1
 
-        @pl.when(length > 4)
-        def _():
-            pword_u(dst0 + 4, load32(src0 + 4))
+        def gsrc(o):
+            wa = in_ref[0, 0, sw + (o >> 2)]
+            wb = in_ref[0, 0, sw + (o >> 2) + 1]
+            return jax.lax.select(
+                sh_s == 0, wa, ((wa >> sh_s) & mm_s) | (wb << (32 - sh_s))
+            )
+
+        v0 = gsrc(jnp.int32(0))
+        lo = enc_ref[0, 0, wi]
+        enc_ref[0, 0, wi] = (lo & keep_d) | (v0 << sh_d)
+        sp0 = (v0 >> (31 - sh_d) >> 1) & keep_d
+        v1 = gsrc(jnp.int32(4))
+        enc_ref[0, 0, wi + 1] = sp0 | (v1 << sh_d)
+        enc_ref[0, 0, wi + 2] = (v1 >> (31 - sh_d) >> 1) & keep_d
 
         @pl.when(length > 8)
         def _():
             o0 = (((dst0 + 8) >> 2) << 2) - dst0  # aligned restart, [5, 8]
+            rem = length - o0
+            wi0 = (dst0 + o0) >> 2
+            s0 = src0 + o0
+            sw2 = s0 >> 2
+            sh2 = (s0 & 3) * 8
+            mm2 = (jnp.int32(1) << (32 - sh2)) - 1
 
-            def body(o):
-                wi = (dst0 + o) >> 2
-                enc_ref[0, 0, wi] = load32(src0 + o)
-                enc_ref[0, 0, wi + 1] = load32(src0 + o + 4)
-                return o + 8
+            @pl.when(sh2 == 0)
+            def _():
+                def body(st):
+                    k, wo, si = st
+                    enc_ref[0, 0, wo] = in_ref[0, 0, si]
+                    enc_ref[0, 0, wo + 1] = in_ref[0, 0, si + 1]
+                    return k + 8, wo + 2, si + 2
 
-            jax.lax.while_loop(lambda o: o < length, body, o0)
+                jax.lax.while_loop(
+                    lambda st: st[0] < rem, body, (jnp.int32(0), wi0, sw2)
+                )
+
+            @pl.when(sh2 != 0)
+            def _():
+                def body(st):
+                    k, wo, si, carry = st
+                    wa = in_ref[0, 0, si]
+                    enc_ref[0, 0, wo] = (
+                        ((carry >> sh2) & mm2) | (wa << (32 - sh2))
+                    )
+                    wb = in_ref[0, 0, si + 1]
+                    enc_ref[0, 0, wo + 1] = (
+                        ((wa >> sh2) & mm2) | (wb << (32 - sh2))
+                    )
+                    return k + 8, wo + 2, si + 2, wb
+
+                jax.lax.while_loop(
+                    lambda st: st[0] < rem,
+                    body,
+                    (jnp.int32(0), wi0, sw2 + 1, in_ref[0, 0, sw2]),
+                )
 
     def emit_literal(op, src0, length):
-        """Literal tag + payload (encoder.nim:44-79).  Returns new op."""
+        """Literal tag + payload (encoder.nim:44-79).  Returns new op.
+
+        Branchless tag: one unaligned word store covers all three tag
+        sizes; garbage bytes past ntag are repaired by the payload that
+        always follows at op+ntag <= op+3."""
         lm1 = length - 1
-        ntag = jax.lax.select(lm1 < 60, 1, jax.lax.select(lm1 < 256, 2, 3))
-
-        @pl.when(lm1 < 60)
-        def _():
-            pbyte(op, lm1 << 2)
-
-        @pl.when((lm1 >= 60) & (lm1 < 256))
-        def _():
-            pbyte(op, 60 << 2)
-            pbyte(op + 1, lm1)
-
-        @pl.when(lm1 >= 256)
-        def _():
-            pbyte(op, 61 << 2)
-            pbyte(op + 1, lm1 & 255)
-            pbyte(op + 2, (lm1 >> 8) & 255)
-
+        big = lm1 >= 60
+        big2 = lm1 >= 256
+        ntag = 1 + jax.lax.select(big, 1, 0) + jax.lax.select(big2, 1, 0)
+        tagw = jax.lax.select(
+            big2,
+            (61 << 2) | ((lm1 & 255) << 8) | (((lm1 >> 8) & 255) << 16),
+            jax.lax.select(big, (60 << 2) | (lm1 << 8), lm1 << 2),
+        )
+        pword_u(op, tagw)
         bulk_copy(op + ntag, src0, length)
         return op + ntag + length
 
@@ -153,18 +194,17 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
         op, rem = jax.lax.cond(rem > 64, emit60, lambda s: s, (op, rem))
 
         use1 = (rem < 12) & (offset < 2048)
-
-        @pl.when(use1)
-        def _():
-            pbyte(op, 1 | ((rem - 4) << 2) | ((offset >> 8) << 5))
-            pbyte(op + 1, offset & 255)
-
-        @pl.when(~use1)
-        def _():
-            pbyte(op, 2 | ((rem - 1) << 2))
-            pbyte(op + 1, offset & 255)
-            pbyte(op + 2, (offset >> 8) & 255)
-
+        # branchless 2-3 byte tag via one unaligned word store: later
+        # writes always start at op+2 or op+3 and repair the spill (the
+        # stream tail past the final op is never part of the output)
+        tag1 = (
+            1 | ((rem - 4) << 2) | ((offset >> 8) << 5) | ((offset & 255) << 8)
+        )
+        tag2 = (
+            2 | ((rem - 1) << 2) | ((offset & 255) << 8)
+            | ((offset & 0xFF00) << 8)
+        )
+        pword_u(op, jax.lax.select(use1, tag1, tag2))
         return op + jax.lax.select(use1, 2, 3)
 
     def hash32(u, mask):
@@ -178,11 +218,15 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
         return cand, valid
 
     def match_len(c, s):
-        """Length of the common prefix of input[c..] / input[s..] capped at
-        n (word compare then byte tail, findMatchLength analog).
+        """Length of the common prefix of input[c..] / input[s..] capped
+        at n (findMatchLength analog).
 
-        Both cursors advance by 4, so the funnel shifts are constant along
-        the loop — hoisted once (same trick as the decoder's copy engine).
+        Carried word loads (2 per iteration instead of 4 — both cursors
+        advance by 4 so each stream re-uses its previous high word) and a
+        branchless byte tail counted from the XOR of the final word pair.
+        The loop may compare the word straddling n (padding is
+        zero-filled; the final clip caps any spurious padding match), so
+        full reference match lengths survive without a byte-tail loop.
         """
         sh_c = (c & 3) * 8
         mc = (jnp.int32(1) << (32 - sh_c)) - 1
@@ -191,33 +235,39 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
         ms = (jnp.int32(1) << (32 - sh_s)) - 1
         sw = s >> 2
 
-        def ld(bw, k, sh, m):
-            wa = in_ref[0, 0, bw + k]
-            wb = in_ref[0, 0, bw + k + 1]
-            return jax.lax.select(sh == 0, wa, ((wa >> sh) & m) | (wb << (32 - sh)))
-
-        def wcond(st):
-            k, _ = st
-            return (s + 4 * k + 4 <= n) & (
-                ld(cw, k, sh_c, mc) == ld(sw, k, sh_s, ms)
+        def body(state):
+            k, cc, cs, go, x = state
+            nc = in_ref[0, 0, cw + k + 1]
+            ns = in_ref[0, 0, sw + k + 1]
+            vc = jax.lax.select(
+                sh_c == 0, cc, ((cc >> sh_c) & mc) | (nc << (32 - sh_c))
             )
+            vs = jax.lax.select(
+                sh_s == 0, cs, ((cs >> sh_s) & ms) | (ns << (32 - sh_s))
+            )
+            x2 = vc ^ vs
+            go2 = (x2 == 0) & (s + 4 * k + 8 <= n + 4)
+            return k + 1, nc, ns, go2, x2
 
-        def wbody(st):
-            k, ml = st
-            return k + 1, ml + 4
-
-        k, ml = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), jnp.int32(0)))
-
-        def bcond(st):
-            c_, s_, _ = st
-            return (s_ < n) & (gbyte(c_) == gbyte(s_))
-
-        def bbody(st):
-            c_, s_, ml = st
-            return c_ + 1, s_ + 1, ml + 1
-
-        _, _, ml = jax.lax.while_loop(bcond, bbody, (c + ml, s + ml, ml))
-        return ml
+        k, _, _, _, x = jax.lax.while_loop(
+            lambda state: state[3],
+            body,
+            (
+                jnp.int32(0),
+                in_ref[0, 0, cw],
+                in_ref[0, 0, sw],
+                jnp.bool_(True),
+                jnp.int32(0),
+            ),
+        )
+        # words 0..k-2 matched fully; word k-1 supplies the tail via x
+        extra = (
+            jax.lax.select((x & 255) == 0, 1, 0)
+            + jax.lax.select((x & 0xFFFF) == 0, 1, 0)
+            + jax.lax.select((x & 0xFFFFFF) == 0, 1, 0)
+            + jax.lax.select(x == 0, 1, 0)
+        )
+        return jnp.clip(4 * (k - 1) + extra, 0, n - s)
 
     # table mask per the reference's input-dependent sizing
     # (encoder.nim:27-34): smallest power of two in [256, 16384] >= n.
