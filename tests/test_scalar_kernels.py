@@ -53,6 +53,84 @@ class TestScalarDecoder:
             assert bool(status[k, 0, 0]), k
             assert outs[k] == p, k
 
+
+
+    def test_emit_edge_matrix(self):
+        """Hand-crafted tag streams covering every emit path class of the
+        v3 copy engine: offsets 1-3 (pattern), 4-7 (non-carry funnel),
+        >= 8 (carried word / aligned loops), x copy lengths around the
+        8-byte head and loop strides, x all destination alignments.
+
+        Copies are emitted as tagCopy2 (decoder.nim:97-102 accepts any
+        length 1..64 even though encoders only emit >= 4)."""
+        rng = random.Random(9)
+        cases = []
+        for off in (1, 2, 3, 4, 5, 6, 7, 8, 9, 16):
+            for clen in (1, 4, 5, 8, 9, 12, 16, 17, 64):
+                for align in (1, 2, 3, 4, 5):
+                    lit0 = max(off, align)
+                    cases.append((lit0, off, clen))
+        bodies, expected = [], []
+        for lit0, off, clen in cases:
+            head = bytes(rng.randrange(1, 256) for _ in range(lit0))
+            body = bytearray()
+            body.append((lit0 - 1) << 2)          # literal tag (len < 60)
+            body += head
+            body.append(2 | ((clen - 1) << 2))    # tagCopy2
+            body += off.to_bytes(2, "little")
+            tail = bytes(rng.randrange(1, 256) for _ in range(3))
+            body.append((3 - 1) << 2)
+            body += tail
+            out = bytearray(head)
+            for _ in range(clen):
+                out.append(out[-off])
+            out += tail
+            bodies.append(bytes(body))
+            expected.append(bytes(out))
+        meta, comp = decode_scalar.pack_chunks(
+            bodies, [len(e) for e in expected]
+        )
+        out_w, status = decode_scalar.decode_chunks_words(
+            meta, comp, len(bodies), interpret=True
+        )
+        status = np.asarray(status)
+        outs = decode_scalar.unpack_output(np.asarray(out_w), status[:, 0, 1])
+        for k, (case, exp) in enumerate(zip(cases, expected)):
+            assert bool(status[k, 0, 0]), case
+            assert outs[k] == exp, case
+
+
+
+
+    def test_emit_edge_matrix_streaming(self):
+        """The same offset x length x alignment emit matrix as
+        test_emit_edge_matrix, chained into ONE raw stream through the
+        windowed streaming decoder (its copy engine is a separate
+        implementation sharing the v3 design)."""
+        from snappy_tpu.ops import decode_stream
+
+        rng = random.Random(10)
+        body = bytearray()
+        out = bytearray()
+        for off in (1, 2, 3, 4, 5, 6, 7, 8, 9, 16):
+            for clen in (1, 4, 5, 8, 9, 12, 16, 17, 64):
+                for align in (1, 2, 3, 4, 5):
+                    lit0 = max(off, align)
+                    head = bytes(rng.randrange(1, 256) for _ in range(lit0))
+                    body.append((lit0 - 1) << 2)
+                    body += head
+                    out += head
+                    body.append(2 | ((clen - 1) << 2))
+                    body += off.to_bytes(2, "little")
+                    for _ in range(clen):
+                        out.append(out[-off])
+        got, reason = decode_stream.decode_raw_stream_bytes(
+            bytes(body), len(out), interpret=True
+        )
+        assert reason == "ok"
+        assert got == bytes(out)
+
+
     def test_malformed_decisions_match_oracle(self):
         bodies, decls = [], []
         for mv in MALFORMED_RAW:
