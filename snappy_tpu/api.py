@@ -91,14 +91,18 @@ def uncompress_into(data: bytes, out: Union[bytearray, memoryview]) -> Result[in
     """Decompress into a caller buffer; written length or typed error
     (snappy.nim:84-110).  The declared length must fit ``out`` exactly like
     the reference: too-small buffers yield ``buffer_too_small``."""
-    declared = framing.uncompressed_len(bytes(data[:16]))
-    if declared is None or declared > C.MAX_UNCOMPRESSED_LEN:
+    from .formats import varint
+
+    # The reference reads the uint32 Leb128 header FIRST (snappy.nim:92-94)
+    # — an overlong/non-canonical varint is invalid_input even when the
+    # output buffer would also have been too small.
+    declared, _read = varint.decode_uint32(bytes(data[:8]))
+    if declared is None:
         return Err(CodecError.invalid_input)
     if declared > len(out):
         return Err(CodecError.buffer_too_small)
 
     from . import config
-    from .formats import varint
     from .ops import host_codec
 
     if config.resolve_backend() == "host" and host_codec.available():
@@ -107,11 +111,7 @@ def uncompress_into(data: bytes, out: Union[bytearray, memoryview]) -> Result[in
         out_arr = np.frombuffer(out, dtype=np.uint8)
         if out_arr.flags.writeable:
             data_b = bytes(data)
-            # Decode-path varint rule: uint32, 5-byte limit (snappy.nim:92).
-            decl32, read = varint.decode_uint32(data_b)
-            if decl32 is None:
-                return Err(CodecError.invalid_input)
-            ok = host_codec.decode_tags_into(data_b[read:], declared, out_arr)
+            ok = host_codec.decode_tags_into(data_b[_read:], declared, out_arr)
             if not ok:
                 return Err(CodecError.invalid_input)
             return Ok(declared)
@@ -236,11 +236,14 @@ def uncompress_framed_into(
             if data_len < 4:
                 return Err(FrameError.invalid_input)
             inner = data_len - 4
-            if inner > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
-                return Err(FrameError.invalid_input)
-            if inner > budget - written_plan:
-                # The reference verifies this chunk's CRC *before* noticing
-                # it does not fit (snappy.nim:244-251).
+            if (
+                inner > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN
+                or inner > budget - written_plan
+            ):
+                # The reference verifies this chunk's CRC *before* the
+                # size cap and before noticing it does not fit
+                # (snappy.nim:244-251); taken chunks are CRC-verified
+                # downstream, so only the reject/resume paths check here.
                 if check_integrity:
                     from .ops import crc32c_native
 
@@ -248,6 +251,8 @@ def uncompress_framed_into(
                     payload = data[data_pos + 4 : data_pos + data_len]
                     if crc32c_native.masked_crc32c(payload) != stored:
                         return Err(FrameError.crc_mismatch)
+                if inner > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
+                    return Err(FrameError.invalid_input)
                 break
         elif cid < C.CHUNK_RESERVED_SKIPPABLE_LO:
             return Err(FrameError.unknown_chunk)

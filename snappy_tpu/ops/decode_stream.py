@@ -73,16 +73,6 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
     base_w = st_ref[0, 0, _SI_BASEW]
 
     # ---------------- byte/word access helpers ----------------
-    def gbyte_c(p):
-        return (comp_ref[0, 0, p >> 2] >> ((p & 3) * 8)) & 255
-
-    def gword_c(p):
-        wa = comp_ref[0, 0, p >> 2]
-        wb = comp_ref[0, 0, (p >> 2) + 1]
-        sh = (p & 3) * 8
-        lo = (wa >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
-        return jax.lax.select(sh == 0, wa, lo | (wb << (32 - sh)))
-
     def uword_idx(k):
         """Unified word: k < 0 -> prev window, else current out."""
         kp = jnp.clip(OW_WORDS + k, 0, PREV_PAD - 1)
@@ -476,8 +466,13 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
         plen2 = jax.lax.select(split, length - eff, jnp.int32(0))
         poff2 = jax.lax.select(split & (~is_lit), off, poff)
         err2 = err | bad
-        # flag unsupported via poff high bit? use separate store below
-        @pl.when(unsup)
+        # A copy that splits at the output-window boundary resumes next
+        # window at w=0, where only the 64 KiB prev window is reachable —
+        # re-check the history limit against the resume cursor, not just
+        # the parse-time cursor.
+        unsup_split = split & (~is_lit) & (off > 4 * OW_WORDS)
+
+        @pl.when(unsup | unsup_split)
         def _():
             so_ref[0, 0, _SO_UNSUP] = 1
 
@@ -807,7 +802,13 @@ def _kernel_multi(
     @pl.when(active)
     def _():
         # ---- bring the comp window into SMEM ----
-        al_w = pl.multiple_of(((pos_call >> 2) >> 10) << 10, ALIGN_W)
+        al_w = pl.multiple_of(
+            jnp.minimum(
+                ((pos_call >> 2) >> 10) << 10,
+                jnp.int32(CALL_WORDS - SCB_WORDS),
+            ),
+            ALIGN_W,
+        )
         dma = pltpu.make_async_copy(
             comp_hbm.at[pl.ds(al_w, SCB_WORDS)], compbuf, sem_c
         )
@@ -1077,8 +1078,11 @@ def _kernel_multi(
             pk2 = jax.lax.select(split, jax.lax.select(is_lit, 1, 2), 0)
             plen2 = jax.lax.select(split, length - eff, jnp.int32(0))
             poff2 = jax.lax.select(split & (~is_lit), off, poff)
+            # split copies resume at w=0 next window: re-check history
+            # reach against the resume cursor (see the one-window kernel)
+            unsup_split = split & (~is_lit) & (off > 4 * OW_WORDS)
 
-            @pl.when(unsup)
+            @pl.when(unsup | unsup_split)
             def _():
                 ms[_MS_UNSUP] = 1
 
@@ -1091,9 +1095,14 @@ def _kernel_multi(
         )
 
         done = (~err) & (pos == navail) & (~more) & (pk == 0)
-        # window not filled and input remains: comp ran dry -> bail so the
-        # wrapper re-slices (rare: expansion ratio > ~1.1).
-        bail = (~err) & (~done) & (w_ < m) & (pk == 0)
+        # Window not filled and input remains: comp ran dry -> bail so the
+        # wrapper re-slices (rare: expansion ratio > ~1.1, or a literal
+        # straddling the comp window).  This must ALSO fire when a pending
+        # segment is carried (pk != 0): the in-kernel prev ring assumes
+        # full 64 KiB windows and is never byte-realigned, so continuing
+        # in-call after a ragged window would misaddress cross-window
+        # copies; the wrapper's host-side realign handles it instead.
+        bail = (~err) & (~done) & (w_ < m)
 
         ms[_MS_POS] = 4 * al_w + pos
         ms[_MS_BASEW] = base_w + w_

@@ -125,13 +125,27 @@ class TestFramedMalformed:
         assert s.decode_framed(data) == payload
 
     def test_oversized_uncompressed_chunk(self):
+        # The reference vector carries a CORRECT crc (test_framed.nim:202-218)
+        # so the size cap is what rejects it; with a wrong crc the reference
+        # checks integrity first (snappy.nim:245-252) -> crcMismatch.
+        from snappy_tpu.ops import crc32c_native
+
         n = C.MAX_UNCOMPRESSED_FRAME_DATA_LEN + 1
+        payload = b"\x00" * n
+        good_crc = crc32c_native.masked_crc32c(payload).to_bytes(4, "little")
         data = (
+            C.FRAMING_HEADER
+            + frame_header(C.CHUNK_UNCOMPRESSED, 4 + n)
+            + good_crc
+            + payload
+        )
+        self.check_invalid(data)
+        bad = (
             C.FRAMING_HEADER
             + frame_header(C.CHUNK_UNCOMPRESSED, 4 + n)
             + b"\x00" * (4 + n)
         )
-        self.check_invalid(data)
+        self.check_invalid(bad, reasons=(s.FrameError.crc_mismatch,))
 
     def test_compressed_chunk_too_short(self):
         data = C.FRAMING_HEADER + frame_header(C.CHUNK_COMPRESSED, 3) + b"\x00" * 3

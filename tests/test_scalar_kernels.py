@@ -131,6 +131,45 @@ class TestScalarDecoder:
         assert got == bytes(out)
 
 
+
+
+    def test_split_copy_beyond_history_flags_unsupported(self):
+        """A legal tagCopy4 with offset in (64 KiB, written] that SPLITS at
+        an output-window boundary resumes at w=0 in the next window, where
+        only 64 KiB of history exists — the kernel must flag the stream
+        unsupported (engine falls back to the XLA decoder) instead of
+        decoding wrong bytes with reason ok."""
+        from snappy_tpu.ops import decode_stream
+
+        rng = random.Random(13)
+        body = bytearray()
+        out = bytearray()
+        for chunk_len in (65000, 60000, 6040):
+            payload = bytes(rng.randrange(256) for _ in range(chunk_len))
+            body.append(61 << 2)                    # literal, 2-byte ext
+            body += (chunk_len - 1).to_bytes(2, "little")
+            body += payload
+            out += payload
+        # cursor at 131040 (window 1, w=65504): ONE tagCopy4, off=70000,
+        # len=64, splits at the 131072 boundary (32 bytes pend) and is the
+        # only tag whose reach exceeds the history — the parse-time check
+        # alone cannot catch it (70000 <= 65536 + 65504), only the
+        # split-time re-check against the w=0 resume cursor can
+        off, clen = 70000, 64
+        body.append(3 | ((clen - 1) << 2))
+        body += off.to_bytes(4, "little")
+        for _ in range(clen):
+            out.append(out[-off])
+        tail = bytes(rng.randrange(256) for _ in range(3))
+        body.append((3 - 1) << 2)
+        body += tail
+        out += tail
+        got, reason = decode_stream.decode_raw_stream_bytes(
+            bytes(body), len(out), interpret=True
+        )
+        assert reason == "unsupported", (reason, got == bytes(out))
+
+
     def test_malformed_decisions_match_oracle(self):
         bodies, decls = [], []
         for mv in MALFORMED_RAW:
