@@ -333,28 +333,31 @@ def bench_device(datasets):
         out, reason = engine.raw_uncompress(enc_stream, backend="device")
         assert reason == "ok" and out == data
 
-        # Large raw stream through the windowed streaming decoder: one
-        # device-resident scan dispatch over 64 KiB windows.
+        # Large raw stream through the grid-mode streaming decoder: the
+        # whole stream in ONE pallas_call (one grid step per 64 KiB window).
         from snappy_tpu.ops import decode_stream
 
         big = blob  # NB x 64 KiB = 8.4 MB
         big_enc = engine.raw_compress(big, backend="host") or b""
         bdecl, bread = varint.decode_uint32(big_enc)
         bbody = big_enc[bread:]
-        w_needed = -(-len(bbody) // 4) + decode_stream.SC_WORDS + 8
-        bbuf = np.zeros((w_needed * 4,), dtype=np.uint8)
+        words_b, n_win, n_steps = decode_stream._grid_shapes(
+            len(bbody), bdecl
+        )
+        bbuf = np.zeros((words_b * 4,), dtype=np.uint8)
         bbuf[: len(bbody)] = np.frombuffer(bbody, np.uint8)
         dwords = jax.device_put(jnp.asarray(bbuf.view(np.int32)))
-        steps = decode_stream._n_steps(len(bbody), bdecl)
         stream_t = pipelined_time(
-            lambda: decode_stream.decode_raw_stream(
-                dwords, jnp.int32(len(bbody)), jnp.int32(bdecl), steps, False
+            lambda: decode_stream.decode_raw_stream_grid(
+                dwords, jnp.int32(len(bbody)), jnp.int32(bdecl),
+                n_win, n_steps, False
             ),
             samples=3,
         )
         log(
-            f"device raw stream decode ({bdecl/1e6:.1f} MB, {steps} windows): "
-            f"{1e3*stream_t:.0f} ms ({bdecl/stream_t/1e6:.1f} MB/s)"
+            f"device raw stream decode ({bdecl/1e6:.1f} MB, {n_win} windows,"
+            f" one dispatch): {1e3*stream_t:.0f} ms "
+            f"({bdecl/stream_t/1e6:.1f} MB/s)"
         )
     else:
         dev_framed_dec_mbps = 0.0

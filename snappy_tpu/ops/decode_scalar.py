@@ -82,6 +82,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import scalar_emit
+
 # Compressed capacity: max_compressed_len(65536) = 76490 bytes.  The HBM
 # slab and SMEM comp window are padded to a 1024-word multiple (Mosaic DMA
 # alignment: HBM offsets and slice shapes align to 1024 int32 words).
@@ -166,210 +168,18 @@ def _make_kernel(cw_pad: int, out_words: int):
         copy_in.start()
         copy_in.wait()
 
-        def gbyte_out(p):
-            w = buf_ref[(out_base_b + p) >> 2]
-            return (w >> ((p & 3) * 8)) & 255
-
-        def pbyte_out(p, v):
-            wi = (out_base_b + p) >> 2
-            sh = ((p & 3)) * 8
-            w = buf_ref[wi]
-            buf_ref[wi] = (w & ~(255 << sh)) | ((v & 255) << sh)
-
         BUF_CAP = cw_pad + out_words + SCR_WORDS
-
-        def emit_mem(dst0, length, src0, carry_ok):
-            """Copy ``length`` bytes buf[src0:] -> buf[dst0:] (byte offsets).
-
-            Over-writes up to 11 bytes past the segment end at positions
-            >= the cursor (repaired by later segments, same trick as the
-            reference's unconditional literal bursts, encoder.nim:58-62).
-            The head commits all of v0 before loading v1, which makes
-            off >= 4 self-overlapping copies correct by store/load
-            sequencing; the carried-word loops additionally pre-read one
-            word ahead, so ``carry_ok`` must be False for 4 <= off < 8.
-            """
-            sh_d = (dst0 & 3) * 8
-            keep_d = (jnp.int32(1) << sh_d) - 1
-            wi = dst0 >> 2
-            sw = src0 >> 2
-            sh_s = (src0 & 3) * 8
-            mm_s = (jnp.int32(1) << (32 - sh_s)) - 1
-
-            def gsrc(o):
-                wa = buf_ref[sw + (o >> 2)]
-                wb = buf_ref[sw + (o >> 2) + 1]
-                return jax.lax.select(
-                    sh_s == 0, wa, ((wa >> sh_s) & mm_s) | (wb << (32 - sh_s))
-                )
-
-            # ---- fused 8-byte head: one RMW + clobber-allowed stores ----
-            # (unconditional: bytes past the end are repaired later; a
-            # length test branch costs more than the stores)
-            v0 = gsrc(jnp.int32(0))
-            lo = buf_ref[wi]
-            buf_ref[wi] = (lo & keep_d) | (v0 << sh_d)
-            # (v >> 31 >> 1) avoids the undefined shift-by-32 at sh_d==0
-            sp0 = (v0 >> (31 - sh_d) >> 1) & keep_d
-            buf_ref[wi + 1] = sp0  # commit all of v0 before loading v1
-            v1 = gsrc(jnp.int32(4))
-            buf_ref[wi + 1] = sp0 | (v1 << sh_d)
-            buf_ref[wi + 2] = (v1 >> (31 - sh_d) >> 1) & keep_d
-
-            @pl.when(length > 8)
-            def _():
-                # Restart at the last aligned destination address <=
-                # dst0+8; overlapped bytes re-write identical values.
-                o0 = (((dst0 + 8) >> 2) << 2) - dst0  # in [5, 8]
-                rem = length - o0
-                wi0 = (dst0 + o0) >> 2
-                s0 = src0 + o0
-                sw2 = s0 >> 2
-                sh2 = (s0 & 3) * 8
-                mm2 = (jnp.int32(1) << (32 - sh2)) - 1
-
-                @pl.when(carry_ok & (sh2 == 0))
-                def _():  # aligned source: plain word copy
-                    def body(st):
-                        k, wo, si = st
-                        buf_ref[wo] = buf_ref[si]
-                        buf_ref[wo + 1] = buf_ref[si + 1]
-                        return k + 8, wo + 2, si + 2
-
-                    jax.lax.while_loop(
-                        lambda st: st[0] < rem, body, (jnp.int32(0), wi0, sw2)
-                    )
-
-                @pl.when(carry_ok & (sh2 != 0))
-                def _():  # funnel with carried word: one load per word
-                    def body(st):
-                        k, wo, si, carry = st
-                        wa = buf_ref[si]
-                        buf_ref[wo] = ((carry >> sh2) & mm2) | (wa << (32 - sh2))
-                        wb = buf_ref[si + 1]
-                        buf_ref[wo + 1] = ((wa >> sh2) & mm2) | (wb << (32 - sh2))
-                        return k + 8, wo + 2, si + 2, wb
-
-                    jax.lax.while_loop(
-                        lambda st: st[0] < rem,
-                        body,
-                        (jnp.int32(0), wi0, sw2 + 1, buf_ref[sw2]),
-                    )
-
-                @pl.when(~carry_ok)
-                def _():  # off in [4, 8): re-load funnel, reads after stores
-                    def g1(o):
-                        b2 = s0 + o
-                        wa = buf_ref[b2 >> 2]
-                        wb = buf_ref[(b2 >> 2) + 1]
-                        shx = (b2 & 3) * 8
-                        mmx = (jnp.int32(1) << (32 - shx)) - 1
-                        return jax.lax.select(
-                            shx == 0,
-                            wa,
-                            ((wa >> shx) & mmx) | (wb << (32 - shx)),
-                        )
-
-                    def body(st):
-                        k, wo = st
-                        buf_ref[wo] = g1(k)
-                        buf_ref[wo + 1] = g1(k + 4)
-                        return k + 8, wo + 2
-
-                    jax.lax.while_loop(
-                        lambda st: st[0] < rem, body, (jnp.int32(0), wi0)
-                    )
-
-        def emit_pat(dst0, length, pa, pb):
-            """Pattern emit for near copies (off 1/2).  Stride-4 stores
-            preserve period-2 parity: one pattern word per aligned stride
-            (``pb`` only when the realigned loop start is odd)."""
-            sh_d = (dst0 & 3) * 8
-            keep_d = (jnp.int32(1) << sh_d) - 1
-
-            def store_u(p, v):
-                wi = p >> 2
-                lo = buf_ref[wi]
-                buf_ref[wi] = (lo & keep_d) | (v << sh_d)
-                hi = buf_ref[wi + 1]
-                spill = (v >> (31 - sh_d) >> 1) & keep_d
-                buf_ref[wi + 1] = (hi & ~keep_d) | spill
-
-            store_u(dst0, pa)
-            store_u(dst0 + 4, pa)
-
-            @pl.when(length > 8)
-            def _():
-                o0 = (((dst0 + 8) >> 2) << 2) - dst0
-                rem = length - o0
-                wi0 = (dst0 + o0) >> 2
-                va = jax.lax.select((o0 & 1) == 0, pa, pb)
-
-                def body(st):
-                    k, wo = st
-                    buf_ref[wo] = va
-                    buf_ref[wo + 1] = va
-                    return k + 8, wo + 2
-
-                jax.lax.while_loop(
-                    lambda st: st[0] < rem, body, (jnp.int32(0), wi0)
-                )
-
-        def do_copy_near(w, off, length):
-            # off in {1, 2, 3}: the run is periodic.  off 1 and 2
-            # replicate as a constant pattern word (scalar analog of the
-            # reference's pattern-doubling, decoder.nim:130-144); off 3
-            # takes the byte loop (copy lengths are <= 64).
-            b0 = gbyte_out(w - off)
-            b1 = gbyte_out(w - off + (off >> 1))  # second byte when off == 2
-            pat1 = b0 * jnp.int32(0x01010101)
-            pat2 = b0 | (b1 << 8) | (b0 << 16) | (b1 << 24)
-            pat2s = b1 | (b0 << 8) | (b1 << 16) | (b0 << 24)
-
-            @pl.when(off != 3)
-            def _():
-                pa = jax.lax.select(off == 1, pat1, pat2)
-                pb = jax.lax.select(off == 1, pat1, pat2s)
-                emit_pat(out_base_b + w, length, pa, pb)
-
-            @pl.when(off == 3)
-            def _():
-                def body(j, carry):
-                    pbyte_out(w + j, gbyte_out(w - 3 + j))
-                    return carry
-
-                jax.lax.fori_loop(0, length, body, 0)
+        emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(
+            buf_ref, BUF_CAP
+        )
+        parse = scalar_emit.make_parser(lut_ref, buf_ref)
 
         def tag_step(state):
             pos, w, err = state
-            # fused parse: the tag byte and its extension word (bytes
-            # pos+1..pos+4, covering the literal length extension and the
-            # copy offset alike) always live in the same two SMEM words.
-            w0 = buf_ref[pos >> 2]
-            w1 = buf_ref[(pos >> 2) + 1]
-            sh = (pos & 3) * 8
-            b = (w0 >> sh) & 255
-            she = sh + 8
-            ext_word = jax.lax.select(
-                she == 32,
-                w1,
-                ((w0 >> she) & ((jnp.int32(1) << (32 - she)) - 1))
-                | (w1 << (32 - she)),
-            )
-            e = lut_ref[b]
-            em = lut_ref[256 + b]
-            hdr = e & _LUT_HDR_MASK
-            is_lit = (e & _LUT_LIT) != 0
-            needs = (e & _LUT_EXT) != 0
-            lenb = (e >> 5) & 127
-            off_base = (e >> 12) & 0x7FF
-
-            ext_val = ext_word & em
+            b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
             # uint32 wraparound (ext_val == 0xffffffff) and lengths >= 2^31
             # cannot fit any 64 KiB output: treat sign bit as error.
-            length = jax.lax.select(needs, ext_val + 1, lenb)
             consumed = hdr + jax.lax.select(is_lit, length, 0)
-            off = off_base | (ext_word & lut_ref[512 + b])
 
             # --- validation (decoder.nim:54-79, 111-113) ---
             bad = needs & (ext_val < 0)
@@ -395,7 +205,7 @@ def _make_kernel(cw_pad: int, out_words: int):
 
             @pl.when(near & ~bad)
             def _():
-                do_copy_near(w, off, length)
+                do_copy_near(out_base_b + w, off, length)
 
             pos2 = jax.lax.select(bad, pos, pos + consumed)
             w2 = jax.lax.select(bad, w, w + length)

@@ -2,29 +2,31 @@
 
 The chunk decoder (ops/decode_scalar.py) holds one whole <= 64 KiB output
 and its compressed bytes in SMEM.  Raw streams are unbounded, so this
-variant decodes in WINDOWS under one ``lax.scan`` — fully device-resident,
-one dispatch for the whole stream:
+module decodes them in 64 KiB WINDOWS, fully device-resident.  Two
+implementations share the semantics:
 
-* each scan step runs the scalar-core kernel over one SMEM-resident slice:
-  up to 64 KiB of output and up to ~76.8 KB of compressed input (sliced
-  from the full stream in HBM with ``lax.dynamic_slice``);
-* copies may reference up to 64 KiB back: the previous output window rides
-  in the scan carry and is passed to the kernel as a read-only input; the
-  carry realigns it after ragged windows with a vectorized funnel shift;
-* tags and literal payloads can straddle both the output window and the
-  compressed window: the kernel returns a pending-segment state
-  (kind, remaining length, copy offset) that the next step resumes;
-* a step ends when its output window fills, its compressed window runs
-  dry (margin of 8 bytes), or the stream ends/errors — so windows are
-  RAGGED in pathological streams; the host compacts them afterwards.
+* **grid mode (production)**: the whole stream in ONE ``pallas_call`` —
+  each grid step decodes one window from a unified SMEM buffer
+  [comp slice | prev window | out window], with all decode state carried
+  in SMEM scratch across steps.  See the "Grid-mode unified streaming
+  decoder" section below for the full design.
+* **scan mode (cross-check)**: one ``pallas_call`` per window under
+  ``lax.scan``; the previous output window rides in the scan carry and is
+  byte-realigned after ragged windows with a vectorized funnel shift.
+  Windows may be RAGGED in pathological streams; the host compacts them.
+  This was the round-2 production path (one dispatch tax per window);
+  grid mode replaced it (770 vs 875 ms on the 49 MB corpus stream,
+  experiments/e21) and it stays as the differential oracle for grid mode.
 
-Validation matches the reference decoder globally (offset 0 / beyond
-written output, truncated tags, length overruns, consumed==comp_len,
-written==declared).  One honest limitation: copy offsets reaching further
-than 64 KiB behind the cursor (legal tagCopy4 encodings that no known
-encoder emits) cannot be served from the one-window history — the kernel
-flags them as ``unsupported`` and the engine falls back to the
-array-parallel XLA decoder for that stream.
+Common to both: tags and literal payloads can straddle windows — a
+pending-segment state (kind, remaining length, copy offset) resumes in
+the next window.  Validation matches the reference decoder globally
+(offset 0 / beyond written output, truncated tags, length overruns,
+consumed==comp_len, written==declared).  One honest limitation: copy
+offsets reaching further than 64 KiB behind the cursor (legal tagCopy4
+encodings that no known encoder emits) cannot be served from the
+one-window history — the kernels flag them as ``unsupported`` and the
+engine falls back to the array-parallel XLA decoder for that stream.
 
 Reference semantics: /root/reference/snappy/decoder.nim:20-155.
 """
@@ -38,6 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from . import scalar_emit
 
 SC_WORDS = 19200  # comp window: 76800 bytes
 OW_WORDS = 16384  # output window: 65536 bytes
@@ -643,67 +647,57 @@ def _n_steps(comp_len: int, declared: int) -> int:
     return -(-need // 256) * 256
 
 
-def _n_calls(declared: int) -> int:
-    """Multi-window call count for NON-adversarial streams (expansion
-    ratio <= ~1.1, i.e. every real encoder's output): each call completes
-    G_WINDOWS output windows."""
-    windows = -(-declared // (4 * OW_WORDS))
-    need = -(-windows // G_WINDOWS) + 2
-    for b in (2, 4, 8, 16, 32, 64):
-        if need <= b:
-            return b
-    return -(-need // 64) * 64
-
-
 def decode_raw_stream_bytes(
-    body: bytes, declared: int, interpret=None, multi: bool = False
+    body: bytes, declared: int, interpret=None, mode: str | None = None,
 ):
     """numpy-boundary convenience: decode a raw tag stream of any size.
 
-    Default path: the one-window-per-call scan (measured faster end to end
-    on the current part: 1186 vs 1381 ms for 47 MB — the multi-window
-    kernel's un-overlapped in-kernel DMA waits cost more than the per-call
-    dispatch they amortize; revisit with double-buffered DMAs).
-    ``multi=True`` selects the G_WINDOWS-per-call kernel; adversarial
-    expansion-ratio streams that exhaust its call budget fall back to the
-    one-window scan.  Returns (payload bytes, reason) with reason in
-    {"ok", "invalid", "unsupported"}.
+    mode selects the kernel strategy:
+      * "grid" (default): the whole stream in ONE pallas_call — each grid
+        step decodes one 64 KiB window from a unified SMEM buffer
+        (decode_raw_stream_grid); no per-window dispatch tax.  Measured on
+        the 49 MB corpus stream: 770 ms vs scan's 875 (experiments/e21).
+      * "scan": one pallas_call per window under lax.scan (the round-2
+        baseline; kept as the semantics cross-check for the grid path).
+    A G_WINDOWS-per-call middle ground ("multi") was built and A/B'd twice
+    (see git history): its un-overlapped in-kernel DMA waits lost to both
+    designs, so it was removed.  Returns (payload bytes, reason) with
+    reason in {"ok", "invalid", "unsupported"}.
     """
+    import os
+
     from . import decode_scalar
 
     if interpret is None:
         interpret = decode_scalar._forced_interpret()
-    comp_len = len(body)
-    w_needed = -(-comp_len // 4) + CALL_WORDS + ALIGN_W + 8
-    buf = np.zeros((w_needed * 4,), dtype=np.uint8)
-    buf[:comp_len] = np.frombuffer(body, np.uint8)
-    full_words = jnp.asarray(buf.view(np.int32))
-
-    if multi:
-        n_calls = _n_calls(declared)
-        windows, writtens, status = decode_raw_stream_multi(
-            full_words,
-            jnp.int32(comp_len),
+    if mode is None:
+        mode = os.environ.get("SNAPPY_TPU_STREAM_MODE", "grid")
+    if mode == "grid" and declared > 0:
+        words_b, n_win, n_steps = _grid_shapes(len(body), declared)
+        buf = np.zeros((words_b * 4,), dtype=np.uint8)
+        buf[: len(body)] = np.frombuffer(body, np.uint8)
+        out_flat, status = decode_raw_stream_grid(
+            jnp.asarray(buf.view(np.int32)),
+            jnp.int32(len(body)),
             jnp.int32(declared),
-            n_calls,
+            n_win,
+            n_steps,
             bool(interpret),
         )
         status = np.asarray(status)
         if status[0]:
-            writtens = np.asarray(writtens).reshape(-1)
-            win_bytes = np.ascontiguousarray(np.asarray(windows)).view(np.uint8)
-            win_bytes = win_bytes.reshape(n_calls * G_WINDOWS, -1)
-            parts = []
-            for k in range(win_bytes.shape[0]):
-                wk = int(writtens[k])
-                if wk:
-                    parts.append(win_bytes[k, :wk].tobytes())
-            out = b"".join(parts)
-            assert len(out) == declared
+            out = (
+                np.ascontiguousarray(np.asarray(out_flat))
+                .view(np.uint8)[:declared]
+                .tobytes()
+            )
             return out, "ok"
-        if status[1] or status[2]:
-            return None, ("unsupported" if status[2] else "invalid")
-        # fall through: call budget exhausted (adversarial stream)
+        return None, ("unsupported" if status[2] else "invalid")
+    comp_len = len(body)
+    w_needed = -(-comp_len // 4) + SC_WORDS + 1024 + 8
+    buf = np.zeros((w_needed * 4,), dtype=np.uint8)
+    buf[:comp_len] = np.frombuffer(body, np.uint8)
+    full_words = jnp.asarray(buf.view(np.int32))
 
     steps = _n_steps(comp_len, declared)
     windows, writtens, status = decode_raw_stream(
@@ -729,332 +723,196 @@ def decode_raw_stream_bytes(
 
 
 # ---------------------------------------------------------------------------
-# Multi-window variant: G windows per kernel call (amortizes the ~0.5-0.8 ms
-# per-pallas_call dispatch that dominates the one-window scan above).
+# Grid-mode unified streaming decoder (v3): ONE pallas_call for the whole
+# stream.
 # ---------------------------------------------------------------------------
 #
-# The compressed stream stays in HBM; each window DMAs its ~80 KB comp slice
-# into SMEM scratch at a dynamically computed (1024-word-aligned) offset.
-# The previous output window lives in a two-slot SMEM ring; finished windows
-# DMA ring -> the grid step's output block.  A window that cannot fill
-# (compressed window ran dry first — only possible for expansion ratios
-# > ~1.1, i.e. adversarial streams) sets a bail flag and the remaining grid
-# steps idle; the wrapper's scan simply re-enters at the recorded position,
-# so correctness never depends on windows being full.
+# The scan-based decoder above pays the ~0.5-0.8 ms pallas_call dispatch tax
+# once per 64 KiB window (per-call tax applies even inside lax.scan; see
+# ROUND_NOTES).  This variant runs every window as a GRID step of a single
+# call, with all decode state carried in SMEM scratch across steps:
+#
+# * one unified SMEM buffer [comp slice | prev window | out window | scratch]
+#   — exactly the chunk decoder's layout plus a 64 KiB history region
+#   directly below the output window, so copies reaching into the previous
+#   window use the SAME address computation as in-window copies (no per-word
+#   prev/out selects, no three-way copy dispatch);
+# * each grid step DMAs one ~80 KiB compressed slice from HBM at the
+#   1024-word-aligned cursor; slice coverage from any in-slice cursor is
+#   >= 77,761 bytes > max_compressed_len(65536) = 76,490, so a 64 KiB output
+#   window NEVER exhausts its comp slice mid-window on tag boundaries — only
+#   a multi-window literal payload or an adversarial expansion stream takes
+#   more than one slice per window (the step then ends and the next step
+#   re-slices; windows stay FULL);
+# * a completed window is DMA'd to its HBM slot and then copied out -> prev
+#   inside SMEM, so the output array is contiguous: bytes [0 : declared] of
+#   the flat result are the payload, no host-side compaction;
+# * the v3 emit/parse closures are shared verbatim with the chunk decoder
+#   (ops/scalar_emit.py).
+#
+# Validation matches the scan decoder (reference decoder.nim:20-155 +
+# snappy.nim:107-108 globally), including the >64 KiB-history `unsupported`
+# flag.  Invalid streams surface as: in-kernel err, or a stalled step (no
+# progress while the window is incomplete), or done never firing (trailing
+# input / short output) — the wrapper maps all three to "invalid".
 
-G_WINDOWS = 8
-ALIGN_W = 1024  # HBM DMA offsets must be 1024-word aligned on this part
-SCB_WORDS = 20480  # comp scratch: SC_WORDS + alignment slack, 1024-aligned (DMA slice shapes must align to the 1024-word tiling)
-CALL_WORDS = G_WINDOWS * SC_WORDS + 2 * ALIGN_W
-# SMEM DMA slice shapes must be 128-word aligned: ring slots / output
-# blocks round the 16388-word window up to 16512.
-RING_WORDS = OW_WORDS + 128
+G_SCB = 20480                     # comp slice words (81920 B, 1024-aligned)
+G_HIST = 16384                    # prev-window words
+G_SCR = 32                        # dead-store scratch + spill margin (words)
+G_BUF_WORDS = G_SCB + G_HIST + OW_WORDS + G_SCR
+G_OUT_BASE_B = 4 * (G_SCB + G_HIST)
+G_SCR_B = 4 * (G_SCB + G_HIST + OW_WORDS + 4)
+# Minimum comp bytes consumed by a slice that neither completes a window nor
+# ends the stream: coverage (4*G_SCB - 64) minus worst alignment waste
+# (4095) minus the parse margin (8).
+G_MIN_SLICE = 4 * G_SCB - 64 - 4095 - 8
 
-# call-level state (st/scratch layout)
-_MS_POS = 0  # pos (bytes) relative to the call slice
-_MS_AVAIL = 1  # valid bytes in the call slice
-_MS_MORE = 2  # 1 if compressed input continues beyond the call slice
-_MS_BASEW = 3  # output bytes written before this call
-_MS_DECL_REM = 4  # declared - base_written
-_MS_PK = 5
-_MS_PLEN = 6
-_MS_POFF = 7
-_MS_ERR = 8
-_MS_DONE = 9
-_MS_UNSUP = 10
-_MS_BAIL = 11
+# st input layout (constant across steps)
+_GI_COMP_LEN = 0
+_GI_DECLARED = 1
+# ms scratch / stout layout
+_GS_POS = 0       # global comp cursor (bytes)
+_GS_W = 1         # cursor within the current output window
+_GS_WIN = 2       # completed-window count (= index of the window in flight)
+_GS_PK = 3        # pending kind: 0 none / 1 literal / 2 copy
+_GS_PLEN = 4
+_GS_POFF = 5
+_GS_ERR = 6
+_GS_DONE = 7
+_GS_UNSUP = 8
 
 
-def _kernel_multi(
-    st_ref, comp_hbm, prev_in, out_ref, wout_ref, stout_ref,
-    ms, ring, compbuf, sem_c, sem_o, sem_p,
-):
+def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
+                 ms, buf_ref, sem_c, sem_o, sem_h):
+    """One grid step = one comp slice (>= one full output window for every
+    non-adversarial stream).  State rides in ``ms`` across steps."""
     g = pl.program_id(0)
-    p = g & 1
 
     @pl.when(g == 0)
     def _():
         def cpst(i, c):
-            ms[i] = st_ref[0, 0, i]
+            ms[i] = 0
             return c
 
         jax.lax.fori_loop(0, 16, cpst, 0)
-        dma = pltpu.make_async_copy(prev_in, ring.at[1], sem_p)
-        dma.start()
-        dma.wait()
 
-    pos_call = ms[_MS_POS]
-    call_avail = ms[_MS_AVAIL]
-    more_call = ms[_MS_MORE] == 1
-    base_w = ms[_MS_BASEW]
-    decl_rem = ms[_MS_DECL_REM]
-    pk0 = ms[_MS_PK]
-    plen0 = ms[_MS_PLEN]
-    poff0 = ms[_MS_POFF]
-    err_in = ms[_MS_ERR] == 1
-    done_in = ms[_MS_DONE] == 1
-    bail_in = ms[_MS_BAIL] == 1
+    comp_len = st_ref[0, 0, _GI_COMP_LEN]
+    declared = st_ref[0, 0, _GI_DECLARED]
+    pos_t = ms[_GS_POS]
+    w_in = ms[_GS_W]
+    win = ms[_GS_WIN]
+    pk0 = ms[_GS_PK]
+    plen0 = ms[_GS_PLEN]
+    poff0 = ms[_GS_POFF]
+    err_in = ms[_GS_ERR] == 1
+    done_in = ms[_GS_DONE] == 1
 
-    m = jnp.minimum(jnp.int32(4 * OW_WORDS), decl_rem)
-    active = (~err_in) & (~done_in) & (~bail_in) & ((m > 0) | (pk0 > 0))
-    wout_ref[0, 0, 0] = 0
+    base_w = win * jnp.int32(65536)   # output bytes before this window
+    written_in = base_w + w_in
+    active = (~err_in) & (~done_in) & ((written_in < declared) | (pk0 > 0))
 
     @pl.when(active)
     def _():
-        # ---- bring the comp window into SMEM ----
-        al_w = pl.multiple_of(
-            jnp.minimum(
-                ((pos_call >> 2) >> 10) << 10,
-                jnp.int32(CALL_WORDS - SCB_WORDS),
-            ),
-            ALIGN_W,
+        # ---- bring the comp slice at the cursor into SMEM ----
+        al = pl.multiple_of(((pos_t >> 2) >> 10) << 10, 1024)
+        dma_c = pltpu.make_async_copy(
+            comp_hbm.at[pl.ds(al, G_SCB)], buf_ref.at[pl.ds(0, G_SCB)], sem_c
         )
-        dma = pltpu.make_async_copy(
-            comp_hbm.at[pl.ds(al_w, SCB_WORDS)], compbuf, sem_c
+        dma_c.start()
+        dma_c.wait()
+        start = pos_t - 4 * al                      # in [0, 4096)
+        navail = jnp.minimum(comp_len - 4 * al, jnp.int32(4 * G_SCB - 64))
+        more = (4 * al + navail) < comp_len
+        m = jnp.minimum(jnp.int32(65536), declared - base_w)
+
+        emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(
+            buf_ref, G_BUF_WORDS
         )
-        dma.start()
-        dma.wait()
-        start = pos_call - 4 * al_w
-        navail = jnp.minimum(call_avail - 4 * al_w, jnp.int32(4 * SCB_WORDS - 16))
-        more = more_call | ((call_avail - 4 * al_w) > navail)
+        parse = scalar_emit.make_parser(lut_ref, buf_ref)
+        _TRUE = jnp.bool_(True)
 
-        # ---- access helpers over scratch refs ----
-        def gbyte_c(q):
-            return (compbuf[q >> 2] >> ((q & 3) * 8)) & 255
-
-        def gword_c(q):
-            wa = compbuf[q >> 2]
-            wb = compbuf[(q >> 2) + 1]
-            sh = (q & 3) * 8
-            lo = (wa >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
-            return jax.lax.select(sh == 0, wa, lo | (wb << (32 - sh)))
-
-        def uword_idx(k):
-            kp = jnp.clip(OW_WORDS + k, 0, OW_PAD - 1)
-            ko = jnp.clip(k, 0, OW_PAD - 1)
-            return jax.lax.select(
-                k < 0, ring[1 - p, 0, 0, kp], ring[p, 0, 0, ko]
-            )
-
-        def gbyte_u(q):
-            w_ = uword_idx(q >> 2)
-            return (w_ >> ((q & 3) * 8)) & 255
-
-        def pbyte_out(q, v):
-            wi = q >> 2
-            sh = (q & 3) * 8
-            w_ = ring[p, 0, 0, wi]
-            ring[p, 0, 0, wi] = (w_ & ~(255 << sh)) | ((v & 255) << sh)
-
-        def emit(dst0, length, make_load):
-            sh_d = (dst0 & 3) * 8
-            keep_d = (jnp.int32(1) << sh_d) - 1
-
-            def store_u(q, v):
-                wi = q >> 2
-                lo = ring[p, 0, 0, wi]
-                ring[p, 0, 0, wi] = (lo & keep_d) | (v << sh_d)
-                hi = ring[p, 0, 0, wi + 1]
-                spill = (v >> (31 - sh_d) >> 1) & keep_d
-                ring[p, 0, 0, wi + 1] = (hi & ~keep_d) | spill
-
-            g0 = make_load(jnp.int32(0))
-            store_u(dst0, g0(jnp.int32(0)))
-
-            @pl.when(length > 4)
-            def _():
-                store_u(dst0 + 4, g0(jnp.int32(4)))
-
-            @pl.when(length > 8)
-            def _():
-                o0 = (((dst0 + 8) >> 2) << 2) - dst0
-                g1 = make_load(o0)
-                wi0 = (dst0 + o0) >> 2
-                rem = length - o0
-
-                def body(s):
-                    k, wi = s
-                    ring[p, 0, 0, wi] = g1(k)
-                    ring[p, 0, 0, wi + 1] = g1(k + 4)
-                    return k + 8, wi + 2
-
-                jax.lax.while_loop(
-                    lambda s: s[0] < rem, body, (jnp.int32(0), wi0)
-                )
-
-        def make_load_comp(base):
-            def make(off):
-                b2 = base + off
-                bw = b2 >> 2
-                sh = (b2 & 3) * 8
-                mm = (jnp.int32(1) << (32 - sh)) - 1
-
-                def gf(o):
-                    wi = bw + (o >> 2)
-                    wa = compbuf[wi]
-                    wb = compbuf[wi + 1]
-                    return jax.lax.select(
-                        sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
-                    )
-
-                return gf
-
-            return make
-
-        def make_load_ring(slot, base):
-            def make(off):
-                b2 = base + off
-                bw = b2 >> 2
-                sh = (b2 & 3) * 8
-                mm = (jnp.int32(1) << (32 - sh)) - 1
-
-                def gf(o):
-                    wi = bw + (o >> 2)
-                    wa = ring[slot, 0, 0, jnp.clip(wi, 0, OW_PAD - 1)]
-                    wb = ring[slot, 0, 0, jnp.clip(wi + 1, 0, OW_PAD - 1)]
-                    return jax.lax.select(
-                        sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
-                    )
-
-                return gf
-
-            return make
-
-        def make_load_unified(base):
-            def make(off):
-                b2 = base + off
-                sh = (b2 & 3) * 8
-                mm = (jnp.int32(1) << (32 - sh)) - 1
-                bw = b2 >> 2
-
-                def gf(o):
-                    k = bw + (o >> 2)
-                    wa = uword_idx(k)
-                    wb = uword_idx(k + 1)
-                    return jax.lax.select(
-                        sh == 0, wa, ((wa >> sh) & mm) | (wb << (32 - sh))
-                    )
-
-                return gf
-
-            return make
-
-        def do_copy(w_, off, length):
-            base_local = w_ - off
+        def do_copy(w, off, length):
+            """Copy ``length`` bytes to window cursor ``w`` from ``off``
+            back (validated: 0 < off <= base_w + w and off <= 65536 + w;
+            the source may land in the history region — same buffer)."""
 
             @pl.when(off < 4)
             def _():
-                b0 = gbyte_u(w_ - off)
-                b1 = gbyte_u(w_ - off + (off >> 1))
-                pat1 = b0 * jnp.int32(0x01010101)
-                pat2 = b0 | (b1 << 8) | (b0 << 16) | (b1 << 24)
-                pat2s = b1 | (b0 << 8) | (b1 << 16) | (b0 << 24)
+                do_copy_near(G_OUT_BASE_B + w, off, length)
 
-                @pl.when(off != 3)
-                def _():
-                    pa = jax.lax.select(off == 1, pat1, pat2)
-                    pb = jax.lax.select(off == 1, pat1, pat2s)
-
-                    def make(off2):
-                        pv = jax.lax.select((off2 & 1) == 0, pa, pb)
-                        return lambda o: pv
-
-                    emit(w_, length, make)
-
-                @pl.when(off == 3)
-                def _():
-                    def body(i, c):
-                        pbyte_out(w_ + i, gbyte_u(w_ - 3 + i))
-                        return c
-
-                    jax.lax.fori_loop(0, length, body, 0)
-
-            @pl.when((off >= 4) & (base_local >= 0))
+            @pl.when(off >= 4)
             def _():
-                emit(w_, length, make_load_ring(p, base_local))
+                emit_mem(
+                    G_OUT_BASE_B + w, length, G_OUT_BASE_B + w - off, off >= 8
+                )
 
-            @pl.when((off >= 4) & (base_local + length + 8 <= 0))
-            def _():
-                emit(w_, length, make_load_ring(1 - p, base_local + 4 * OW_WORDS))
-
-            @pl.when((off >= 4) & (base_local < 0) & (base_local + length + 8 > 0))
-            def _():
-                emit(w_, length, make_load_unified(base_local))
-
-        # ---- pending service ----
-        def service_pending(pk, plen, poff):
-            pos0 = start
-            avail = navail - pos0
-            eff_l = jnp.clip(jnp.minimum(plen, jnp.minimum(m, avail)), 0, None)
-            eff_c = jnp.clip(jnp.minimum(plen, m), 0, None)
+        # ---- pending-segment service (cold path: once per slice) ----
+        def service(pos, w, pk, plen, poff):
+            avail = navail - pos
+            capw = m - w
+            eff_l = jnp.clip(
+                jnp.minimum(plen, jnp.minimum(capw, avail)), 0, None
+            )
+            eff_c = jnp.clip(jnp.minimum(plen, capw), 0, None)
 
             def lit(_):
                 @pl.when(eff_l > 0)
                 def _():
-                    emit(jnp.int32(0), eff_l, make_load_comp(pos0))
+                    emit_mem(G_OUT_BASE_B + w, eff_l, pos, _TRUE)
 
                 rem = plen - eff_l
-                return pos0 + eff_l, eff_l, jax.lax.select(rem > 0, 1, 0), rem
+                return (
+                    pos + eff_l,
+                    w + eff_l,
+                    jax.lax.select(rem > 0, 1, 0),
+                    rem,
+                )
 
             def cpy(_):
                 @pl.when(eff_c > 0)
                 def _():
-                    do_copy(jnp.int32(0), poff, eff_c)
+                    do_copy(w, poff, eff_c)
 
                 rem = plen - eff_c
-                return pos0, eff_c, jax.lax.select(rem > 0, 2, 0), rem
+                return pos, w + eff_c, jax.lax.select(rem > 0, 2, 0), rem
 
             def none(_):
-                return pos0, jnp.int32(0), jnp.int32(0), jnp.int32(0)
+                return pos, w, jnp.int32(0), jnp.int32(0)
 
             return jax.lax.switch(jnp.clip(pk, 0, 2), [none, lit, cpy], 0)
 
-        pos0, w0, pk1, plen1 = service_pending(pk0, plen0, poff0)
-        stopped0 = pk1 > 0
+        pos1, w1, pk1, plen1 = service(start, w_in, pk0, plen0, poff0)
+        stop0 = pk1 > 0
 
-        # ---- main tag loop (same semantics as the one-window kernel) ----
+        # ---- main tag loop (chunk-kernel v3 + window/split handling) ----
         def cond(s):
-            pos, w_, err, stop, pk, plen, poff = s
+            pos, w, err, stop, pk, plen, poff = s
             return (
                 (pos < navail)
                 & (~err)
                 & (~stop)
-                & (w_ < m)
+                & (w < m)
                 & ~(more & (pos > navail - MARGIN))
             )
 
         def tag_step(s):
-            pos, w_, err, stop, pk, plen, poff = s
-            b = gbyte_c(pos)
-            t = b & 3
-            lc = b >> 2
-            is_lit = t == 0
+            pos, w, err, stop, pk, plen, poff = s
+            b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
 
-            ex = jnp.clip(lc - 59, 0, 4)
-            ext_word = gword_c(pos + 1)
-            emask = jax.lax.select(
-                ex == 4, jnp.int32(-1), (jnp.int32(1) << (ex * 8)) - 1
-            )
-            ext_val = ext_word & emask
-            lit_wrap = is_lit & (lc >= 60) & (ext_val < 0)
-            lit_len = jax.lax.select(lc < 60, lc + 1, ext_val + 1)
-            hdr = jax.lax.select(is_lit, 1 + ex, 1 + t + ((t >> 1) & t & 1))
-
-            e1 = ext_word & 255
-            off = jax.lax.select(t == 1, ((b & 0xE0) << 3) | e1, ext_word)
-            off = jax.lax.select(t == 2, ext_word & 0xFFFF, off)
-            cl = jax.lax.select(t == 1, 4 + (lc & 7), 1 + lc)
-            length = jax.lax.select(is_lit, lit_len, cl)
-
-            bad = lit_wrap | (is_lit & (lit_len < 0))
+            # --- validation (decoder.nim:54-79, 111-113 + global caps) ---
+            bad = needs & (ext_val < 0)
             pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
             bad |= is_lit & (~more) & ((pay_end > navail) | (pay_end < 0))
             bad |= (~is_lit) & (pos + hdr > navail)
-            bad |= (~is_lit) & ((off <= 0) | (off > base_w + w_))
-            unsup = (~is_lit) & (~bad) & (off > 4 * OW_WORDS + w_)
+            bad |= (~is_lit) & ((off <= 0) | (off > base_w + w))
+            # total output overrun (snappy.nim:107-108): splits may only
+            # happen at intermediate window caps, never past declared
+            bad |= length > (declared - base_w) - w
+            unsup = (~is_lit) & (~bad) & (off > 65536 + w)
             bad |= unsup
 
-            cap_out = m - w_
+            # --- effective emission under window/slice caps ---
+            cap_out = m - w
             avail_payload = navail - (pos + hdr)
             eff = jnp.minimum(length, cap_out)
             eff = jax.lax.select(
@@ -1063,61 +921,95 @@ def _kernel_multi(
             eff = jnp.maximum(eff, 0)
             split = (~bad) & (eff < length)
 
-            @pl.when((~bad) & (eff > 0) & is_lit)
-            def _():
-                emit(w_, eff, make_load_comp(pos + hdr))
+            # --- branchless emit: literal or far copy; near/bad redirect ---
+            near = (~is_lit) & (off < 4) & (~bad)
+            redirect = bad | near
+            src = jax.lax.select(is_lit, pos + hdr, G_OUT_BASE_B + w - off)
+            src = jnp.clip(src, 0, jnp.int32(4 * (G_BUF_WORDS - 4)))
+            dst = jax.lax.select(
+                redirect, jnp.int32(G_SCR_B), G_OUT_BASE_B + w
+            )
+            ln_eff = jax.lax.select(bad, jnp.int32(4), eff)
+            carry_ok = is_lit | (off >= 8) | redirect
+            emit_mem(dst, ln_eff, src, carry_ok)
 
-            @pl.when((~bad) & (eff > 0) & (~is_lit))
+            @pl.when(near)
             def _():
-                do_copy(w_, off, eff)
+                do_copy_near(G_OUT_BASE_B + w, off, eff)
 
             pos2 = jax.lax.select(
                 bad, pos, pos + hdr + jax.lax.select(is_lit, eff, jnp.int32(0))
             )
-            w2 = jax.lax.select(bad, w_, w_ + eff)
+            w2 = jax.lax.select(bad, w, w + eff)
             pk2 = jax.lax.select(split, jax.lax.select(is_lit, 1, 2), 0)
             plen2 = jax.lax.select(split, length - eff, jnp.int32(0))
             poff2 = jax.lax.select(split & (~is_lit), off, poff)
-            # split copies resume at w=0 next window: re-check history
-            # reach against the resume cursor (see the one-window kernel)
-            unsup_split = split & (~is_lit) & (off > 4 * OW_WORDS)
+            # a split copy resumes at w=0 next window where only 64 KiB of
+            # history exists: re-check reach against the resume cursor
+            unsup_split = split & (~is_lit) & (off > 65536)
 
             @pl.when(unsup | unsup_split)
             def _():
-                ms[_MS_UNSUP] = 1
+                ms[_GS_UNSUP] = 1
 
             return pos2, w2, err | bad, stop | split, pk2, plen2, poff2
 
-        pos, w_, err, stop, pk, plen, poff = jax.lax.while_loop(
+        pos, w, err, stop, pk, plen, poff = jax.lax.while_loop(
             cond,
             tag_step,
-            (pos0, w0, jnp.bool_(False), stopped0, pk1, plen1, poff0),
+            (pos1, w1, jnp.bool_(False), stop0, pk1, plen1, poff0),
         )
 
-        done = (~err) & (pos == navail) & (~more) & (pk == 0)
-        # Window not filled and input remains: comp ran dry -> bail so the
-        # wrapper re-slices (rare: expansion ratio > ~1.1, or a literal
-        # straddling the comp window).  This must ALSO fire when a pending
-        # segment is carried (pk != 0): the in-kernel prev ring assumes
-        # full 64 KiB windows and is never byte-realigned, so continuing
-        # in-call after a ragged window would misaddress cross-window
-        # copies; the wrapper's host-side realign handles it instead.
-        bail = (~err) & (~done) & (w_ < m)
+        pos_t2 = 4 * al + pos
+        # stall guard: an active slice that makes no progress while its
+        # window is incomplete can only be a truncated/overlong stream
+        progressed = (pos_t2 > pos_t) | (w > w_in)
+        err = err | ((~progressed) & (w < m))
 
-        ms[_MS_POS] = 4 * al_w + pos
-        ms[_MS_BASEW] = base_w + w_
-        ms[_MS_DECL_REM] = decl_rem - w_
-        ms[_MS_PK] = pk
-        ms[_MS_PLEN] = plen
-        ms[_MS_POFF] = poff
-        ms[_MS_ERR] = jax.lax.select(err, 1, 0)
-        ms[_MS_DONE] = jax.lax.select(done, 1, 0)
-        ms[_MS_BAIL] = jax.lax.select(bail, 1, 0)
-        wout_ref[0, 0, 0] = w_
+        win_done = (~err) & (w >= m)
 
-        dma_o = pltpu.make_async_copy(ring.at[p], out_ref, sem_o)
-        dma_o.start()
-        dma_o.wait()
+        @pl.when(win_done)
+        def _():
+            # flush the finished window to its HBM slot (full window DMA;
+            # for the final partial window the bytes past `declared` are
+            # dead padding the wrapper never reads)
+            dma_o = pltpu.make_async_copy(
+                buf_ref.at[pl.ds(G_SCB + G_HIST, OW_WORDS)],
+                out_hbm.at[pl.ds(pl.multiple_of(win * OW_WORDS, 1024),
+                                 OW_WORDS)],
+                sem_o,
+            )
+            dma_o.start()
+            dma_o.wait()
+
+            # out -> history (only full 64 KiB windows feed later copies)
+            @pl.when(m == 65536)
+            def _():
+                dma_h = pltpu.make_async_copy(
+                    buf_ref.at[pl.ds(G_SCB + G_HIST, OW_WORDS)],
+                    buf_ref.at[pl.ds(G_SCB, G_HIST)],
+                    sem_h,
+                )
+                dma_h.start()
+                dma_h.wait()
+
+            ms[_GS_WIN] = win + 1
+            ms[_GS_W] = 0
+
+        @pl.when(~win_done)
+        def _():
+            ms[_GS_W] = w
+
+        written2 = base_w + jax.lax.select(win_done, m, w)
+        done = (
+            (~err) & (pos_t2 >= comp_len) & (pk == 0) & (written2 == declared)
+        )
+        ms[_GS_POS] = pos_t2
+        ms[_GS_PK] = pk
+        ms[_GS_PLEN] = plen
+        ms[_GS_POFF] = poff
+        ms[_GS_ERR] = jax.lax.select(err, 1, 0)
+        ms[_GS_DONE] = jax.lax.select(done, 1, 0)
 
     # final state (every step writes; last write wins)
     def wst(i, c):
@@ -1127,140 +1019,94 @@ def _kernel_multi(
     jax.lax.fori_loop(0, 16, wst, 0)
 
 
-def _call_multi(st, comp_call, prev, interpret: bool):
-    return pl.pallas_call(
-        _kernel_multi,
-        grid=(G_WINDOWS,),
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def decode_raw_stream_grid(full_words, comp_len, declared,
+                           n_windows: int, n_steps: int, interpret: bool):
+    """Whole-stream decode in ONE pallas_call (grid-mode).
+
+    full_words: int32 [W] packed LE bytes, W a static pad of comp_len/4 +
+    G_SCB + 1024 + 8 or more.
+    n_windows: static >= ceil(declared / 65536); n_steps: static step
+    budget >= n_windows + ceil(comp_len / G_MIN_SLICE) + 2 (valid streams
+    never exhaust it; see module notes).
+
+    Returns (out_flat [n_windows * OW_WORDS] int32, status [5] int32:
+    ok, err, unsupported, total_written, consumed).  On ok, the payload is
+    the first ``declared`` bytes of out_flat.
+    """
+    from .decode_scalar import LUT_WORDS, _host_lut
+
+    lut = jnp.asarray(_host_lut())
+    st = jnp.zeros((16,), jnp.int32)
+    st = st.at[_GI_COMP_LEN].set(comp_len)
+    st = st.at[_GI_DECLARED].set(declared)
+
+    out_flat, stout = pl.pallas_call(
+        _kernel_grid,
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, 1, 16), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((LUT_WORDS,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 16), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, RING_WORDS), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, RING_WORDS), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 16), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, 16), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((G_WINDOWS, 1, RING_WORDS), jnp.int32),
-            jax.ShapeDtypeStruct((G_WINDOWS, 1, 16), jnp.int32),
+            jax.ShapeDtypeStruct((n_windows * OW_WORDS,), jnp.int32),
             jax.ShapeDtypeStruct((1, 1, 16), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.SMEM((16,), jnp.int32),
-            pltpu.SMEM((2, 1, 1, RING_WORDS), jnp.int32),
-            pltpu.SMEM((SCB_WORDS,), jnp.int32),
+            pltpu.SMEM((G_BUF_WORDS,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(st, comp_call, prev)
+    )(lut, st.reshape(1, 1, 16), full_words)
 
-
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def decode_raw_stream_multi(
-    full_words, comp_len, declared, n_calls: int, interpret: bool
-):
-    """Multi-window streaming decode: G_WINDOWS windows per kernel call.
-
-    Same contract as decode_raw_stream, but windows arrive stacked
-    [n_calls, G_WINDOWS, OW_PAD] with written [n_calls, G_WINDOWS].
-    """
-
-    def realign_prev(prev, win, w_step):
-        # prev and the result are RING_WORDS long (valid data in the first
-        # OW_WORDS + a few pad words; the tail is don't-care).
-        cat = jnp.concatenate(
-            [prev[:OW_WORDS], win, jnp.zeros((8,), jnp.int32)]
-        )
-        sw = w_step >> 2
-        sh = (w_step & 3) * 8
-        lo = jax.lax.dynamic_slice(cat, (sw,), (RING_WORDS,))
-        hi = jax.lax.dynamic_slice(cat, (sw + 1,), (RING_WORDS,))
-        shz = jnp.maximum(sh, 8)
-        loz = (lo >> sh) & ((jnp.int32(1) << (32 - shz)) - 1)
-        merged = jnp.where(sh == 0, lo, loz | (hi << (32 - sh)))
-        return jnp.where(w_step > 0, merged, prev)
-
-    def body(carry, _):
-        pos_total, written_total, err, done, unsup, pk, plen, poff, prev = carry
-        slice_w = (pos_total >> 2) & ~(ALIGN_W - 1)
-        comp_call = jax.lax.dynamic_slice(full_words, (slice_w,), (CALL_WORDS,))
-        call_avail = jnp.clip(comp_len - slice_w * 4, 0, 4 * CALL_WORDS)
-        more_after = (slice_w * 4 + call_avail) < comp_len
-
-        st = jnp.zeros((16,), jnp.int32)
-        st = st.at[_MS_POS].set(pos_total - slice_w * 4)
-        st = st.at[_MS_AVAIL].set(call_avail)
-        st = st.at[_MS_MORE].set(jnp.where(more_after, 1, 0))
-        st = st.at[_MS_BASEW].set(written_total)
-        st = st.at[_MS_DECL_REM].set(declared - written_total)
-        st = st.at[_MS_PK].set(pk)
-        st = st.at[_MS_PLEN].set(plen)
-        st = st.at[_MS_POFF].set(poff)
-        st = st.at[_MS_ERR].set(jnp.where(err, 1, 0))
-        st = st.at[_MS_DONE].set(jnp.where(done, 1, 0))
-
-        wins, wouts, stout = _call_multi(
-            st.reshape(1, 1, 16),
-            comp_call,
-            prev.reshape(1, 1, -1),
-            interpret,
-        )
-        wins = wins[:, 0]  # [G, OW_PAD]
-        writtens = wouts[:, 0, 0]  # [G]
-        stout = stout[0, 0]
-
-        for gidx in range(G_WINDOWS):
-            prev = realign_prev(prev, wins[gidx], writtens[gidx])
-
-        pos_total2 = slice_w * 4 + stout[_MS_POS]
-        written2 = written_total + jnp.sum(writtens)
-        err2 = err | (stout[_MS_ERR] == 1)
-        done2 = done | (stout[_MS_DONE] == 1)
-        unsup2 = unsup | (stout[_MS_UNSUP] == 1)
-        carry2 = (
-            pos_total2,
-            written2,
-            err2,
-            done2,
-            unsup2,
-            stout[_MS_PK],
-            stout[_MS_PLEN],
-            stout[_MS_POFF],
-            prev,
-        )
-        return carry2, (wins, writtens)
-
-    prev0 = jnp.zeros((RING_WORDS,), jnp.int32)
-    carry0 = (
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.bool_(False),
-        jnp.bool_(False),
-        jnp.bool_(False),
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.int32(0),
-        prev0,
+    stout = stout[0, 0]
+    err = stout[_GS_ERR] == 1
+    done = stout[_GS_DONE] == 1
+    unsup = stout[_GS_UNSUP] == 1
+    # completed windows are all full except a completed FINAL partial
+    # window (min caps that); an in-flight partial window adds _GS_W
+    written = (
+        jnp.minimum(stout[_GS_WIN] * jnp.int32(65536), declared)
+        + stout[_GS_W]
     )
-    carry, (windows, writtens) = jax.lax.scan(body, carry0, None, length=n_calls)
-    pos_total, written_total, err, done, unsup, pk, plen, poff, _ = carry
-    ok = (
-        done
-        & (~err)
-        & (~unsup)
-        & (written_total == declared)
-        & (pos_total == comp_len)
-    )
+    ok = done & (~err) & (~unsup)
     status = jnp.stack(
         [
             jnp.where(ok, 1, 0),
             jnp.where(err, 1, 0),
             jnp.where(unsup, 1, 0),
-            written_total,
-            pos_total,
+            written,
+            stout[_GS_POS],
         ]
     )
-    return windows, writtens, status
+    return out_flat, status
+
+
+def _grid_shapes(comp_len: int, declared: int):
+    """Static (padded_words, n_windows, n_steps) compile-shape buckets."""
+    windows = max(1, -(-declared // 65536))
+    steps = windows + -(-comp_len // G_MIN_SLICE) + 2
+    # bucket both to limit distinct compile shapes
+    def bucket(v, quanta):
+        for b in quanta:
+            if v <= b:
+                return b
+        q = quanta[-1]
+        return -(-v // q) * q
+
+    windows_b = bucket(windows, (2, 4, 8, 16, 32, 64, 128, 256))
+    steps_b = bucket(steps, (4, 8, 16, 32, 64, 128, 256, 512))
+    words = -(-comp_len // 4) + G_SCB + 1024 + 8
+    words_b = bucket(words, (16384, 65536, 262144, 1048576))
+    return words_b, windows_b, steps_b

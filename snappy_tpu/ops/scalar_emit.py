@@ -1,0 +1,245 @@
+"""Shared scalar-core emit/parse closures (the v3 design).
+
+Both SMEM-unified decoders — the per-chunk kernel (decode_scalar.py) and
+the grid-mode streaming kernel (decode_stream.py) — place the compressed
+bytes and the output window in ONE int32 SMEM buffer and share these
+closures.  All offsets are absolute BYTE offsets into ``buf_ref``.
+
+Design notes (measured, experiments/e15+e18):
+
+* **Fused 8-byte head**: one read-modify-write preserving bytes below the
+  destination cursor, then clobber-allowed full-word stores — bytes past a
+  segment end are repaired by later segments (the same trick as the
+  reference's unconditional 16-byte literal bursts, encoder.nim:58-62).
+* **Carried-word copy loops**: one SMEM load per output word; ``carry_ok``
+  must be False for self-overlapping copies with 4 <= dst-src < 8 (the
+  loop pre-reads one source word ahead).
+* **Pattern near-copies**: offsets 1/2 replicate as constant pattern words
+  (scalar analog of the reference's pattern-doubling, decoder.nim:130-144);
+  offset 3 takes a byte loop (copy lengths are <= 64).
+* **Fused LUT parse**: the tag byte and its extension word always sit in
+  the same two SMEM words; a 768-entry LUT (see decode_scalar._host_lut)
+  maps the tag byte to header/flags/length and offset-extension masks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def make_emit_ops(buf_ref, buf_cap_words: int):
+    """Build the emit closures over one unified SMEM buffer.
+
+    buf_cap_words: total words in buf_ref (used only for read clamps).
+    Returns (emit_mem, emit_pat, do_copy_near, gbyte, pbyte).
+    """
+
+    def gbyte(p):
+        w = buf_ref[p >> 2]
+        return (w >> ((p & 3) * 8)) & 255
+
+    def pbyte(p, v):
+        wi = p >> 2
+        sh = (p & 3) * 8
+        w = buf_ref[wi]
+        buf_ref[wi] = (w & ~(255 << sh)) | ((v & 255) << sh)
+
+    def emit_mem(dst0, length, src0, carry_ok):
+        """Copy ``length`` bytes buf[src0:] -> buf[dst0:] (byte offsets).
+
+        Over-writes up to 11 bytes past the segment end at positions
+        >= the cursor (repaired by later segments).  The head commits
+        all of v0 before loading v1, which makes off >= 4
+        self-overlapping copies correct by store/load sequencing; the
+        carried-word loops additionally pre-read one word ahead, so
+        ``carry_ok`` must be False for 4 <= dst0 - src0 < 8.
+        """
+        sh_d = (dst0 & 3) * 8
+        keep_d = (jnp.int32(1) << sh_d) - 1
+        wi = dst0 >> 2
+        sw = src0 >> 2
+        sh_s = (src0 & 3) * 8
+        mm_s = (jnp.int32(1) << (32 - sh_s)) - 1
+
+        def gsrc(o):
+            wa = buf_ref[sw + (o >> 2)]
+            wb = buf_ref[sw + (o >> 2) + 1]
+            return jax.lax.select(
+                sh_s == 0, wa, ((wa >> sh_s) & mm_s) | (wb << (32 - sh_s))
+            )
+
+        # ---- fused 8-byte head: one RMW + clobber-allowed stores ----
+        # (unconditional: bytes past the end are repaired later; a
+        # length test branch costs more than the stores)
+        v0 = gsrc(jnp.int32(0))
+        lo = buf_ref[wi]
+        buf_ref[wi] = (lo & keep_d) | (v0 << sh_d)
+        # (v >> 31 >> 1) avoids the undefined shift-by-32 at sh_d==0
+        sp0 = (v0 >> (31 - sh_d) >> 1) & keep_d
+        buf_ref[wi + 1] = sp0  # commit all of v0 before loading v1
+        v1 = gsrc(jnp.int32(4))
+        buf_ref[wi + 1] = sp0 | (v1 << sh_d)
+        buf_ref[wi + 2] = (v1 >> (31 - sh_d) >> 1) & keep_d
+
+        @pl.when(length > 8)
+        def _():
+            # Restart at the last aligned destination address <=
+            # dst0+8; overlapped bytes re-write identical values.
+            o0 = (((dst0 + 8) >> 2) << 2) - dst0  # in [5, 8]
+            rem = length - o0
+            wi0 = (dst0 + o0) >> 2
+            s0 = src0 + o0
+            sw2 = s0 >> 2
+            sh2 = (s0 & 3) * 8
+            mm2 = (jnp.int32(1) << (32 - sh2)) - 1
+
+            @pl.when(carry_ok & (sh2 == 0))
+            def _():  # aligned source: plain word copy
+                def body(st):
+                    k, wo, si = st
+                    buf_ref[wo] = buf_ref[si]
+                    buf_ref[wo + 1] = buf_ref[si + 1]
+                    return k + 8, wo + 2, si + 2
+
+                jax.lax.while_loop(
+                    lambda st: st[0] < rem, body, (jnp.int32(0), wi0, sw2)
+                )
+
+            @pl.when(carry_ok & (sh2 != 0))
+            def _():  # funnel with carried word: one load per word
+                def body(st):
+                    k, wo, si, carry = st
+                    wa = buf_ref[si]
+                    buf_ref[wo] = ((carry >> sh2) & mm2) | (wa << (32 - sh2))
+                    wb = buf_ref[si + 1]
+                    buf_ref[wo + 1] = ((wa >> sh2) & mm2) | (wb << (32 - sh2))
+                    return k + 8, wo + 2, si + 2, wb
+
+                jax.lax.while_loop(
+                    lambda st: st[0] < rem,
+                    body,
+                    (jnp.int32(0), wi0, sw2 + 1, buf_ref[sw2]),
+                )
+
+            @pl.when(~carry_ok)
+            def _():  # off in [4, 8): re-load funnel, reads after stores
+                def g1(o):
+                    b2 = s0 + o
+                    wa = buf_ref[b2 >> 2]
+                    wb = buf_ref[(b2 >> 2) + 1]
+                    shx = (b2 & 3) * 8
+                    mmx = (jnp.int32(1) << (32 - shx)) - 1
+                    return jax.lax.select(
+                        shx == 0,
+                        wa,
+                        ((wa >> shx) & mmx) | (wb << (32 - shx)),
+                    )
+
+                def body(st):
+                    k, wo = st
+                    buf_ref[wo] = g1(k)
+                    buf_ref[wo + 1] = g1(k + 4)
+                    return k + 8, wo + 2
+
+                jax.lax.while_loop(
+                    lambda st: st[0] < rem, body, (jnp.int32(0), wi0)
+                )
+
+    def emit_pat(dst0, length, pa, pb):
+        """Pattern emit for near copies (off 1/2).  Stride-4 stores
+        preserve period-2 parity: one pattern word per aligned stride
+        (``pb`` only when the realigned loop start is odd)."""
+        sh_d = (dst0 & 3) * 8
+        keep_d = (jnp.int32(1) << sh_d) - 1
+
+        def store_u(p, v):
+            wi = p >> 2
+            lo = buf_ref[wi]
+            buf_ref[wi] = (lo & keep_d) | (v << sh_d)
+            hi = buf_ref[wi + 1]
+            spill = (v >> (31 - sh_d) >> 1) & keep_d
+            buf_ref[wi + 1] = (hi & ~keep_d) | spill
+
+        store_u(dst0, pa)
+        store_u(dst0 + 4, pa)
+
+        @pl.when(length > 8)
+        def _():
+            o0 = (((dst0 + 8) >> 2) << 2) - dst0
+            rem = length - o0
+            wi0 = (dst0 + o0) >> 2
+            va = jax.lax.select((o0 & 1) == 0, pa, pb)
+
+            def body(st):
+                k, wo = st
+                buf_ref[wo] = va
+                buf_ref[wo + 1] = va
+                return k + 8, wo + 2
+
+            jax.lax.while_loop(
+                lambda st: st[0] < rem, body, (jnp.int32(0), wi0)
+            )
+
+    def do_copy_near(dst0, off, length):
+        """Near copy, off in {1, 2, 3}: the run is periodic.  dst0 is the
+        absolute destination byte; the source is dst0 - off (valid history
+        guaranteed by the caller)."""
+        b0 = gbyte(dst0 - off)
+        b1 = gbyte(dst0 - off + (off >> 1))  # second byte when off == 2
+        pat1 = b0 * jnp.int32(0x01010101)
+        pat2 = b0 | (b1 << 8) | (b0 << 16) | (b1 << 24)
+        pat2s = b1 | (b0 << 8) | (b1 << 16) | (b0 << 24)
+
+        @pl.when(off != 3)
+        def _():
+            pa = jax.lax.select(off == 1, pat1, pat2)
+            pb = jax.lax.select(off == 1, pat1, pat2s)
+            emit_pat(dst0, length, pa, pb)
+
+        @pl.when(off == 3)
+        def _():
+            def body(j, carry):
+                pbyte(dst0 + j, gbyte(dst0 - 3 + j))
+                return carry
+
+            jax.lax.fori_loop(0, length, body, 0)
+
+    return emit_mem, emit_pat, do_copy_near, gbyte, pbyte
+
+
+def make_parser(lut_ref, buf_ref):
+    """Fused LUT tag parse: returns parse(pos) ->
+    (b, hdr, is_lit, needs, lenb, off_base, ext_word, ext_mask).
+
+    The tag byte and its extension word (bytes pos+1..pos+4, covering the
+    literal length extension and the copy offset alike) always live in the
+    same two SMEM words.
+    """
+
+    def parse(pos):
+        w0 = buf_ref[pos >> 2]
+        w1 = buf_ref[(pos >> 2) + 1]
+        sh = (pos & 3) * 8
+        b = (w0 >> sh) & 255
+        she = sh + 8
+        ext_word = jax.lax.select(
+            she == 32,
+            w1,
+            ((w0 >> she) & ((jnp.int32(1) << (32 - she)) - 1))
+            | (w1 << (32 - she)),
+        )
+        e = lut_ref[b]
+        em = lut_ref[256 + b]
+        hdr = e & 7
+        is_lit = (e & 8) != 0
+        needs = (e & 16) != 0
+        lenb = (e >> 5) & 127
+        off_base = (e >> 12) & 0x7FF
+        ext_val = ext_word & em
+        length = jax.lax.select(needs, ext_val + 1, lenb)
+        off = off_base | (ext_word & lut_ref[512 + b])
+        return b, hdr, is_lit, needs, ext_val, length, off
+
+    return parse

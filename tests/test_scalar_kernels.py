@@ -313,31 +313,6 @@ class TestStreamingRawDecoder:
         assert out is None and reason == "invalid"
 
 
-    def test_multi_window_variant(self):
-        from snappy_tpu.ops import decode_stream
-
-        payload = b"ab" * 70_000  # two windows
-        enc = s.encode(payload)
-        _, v = varint.decode_uint32(enc)
-        out, reason = decode_stream.decode_raw_stream_bytes(
-            enc[v:], len(payload), interpret=True, multi=True
-        )
-        assert reason == "ok" and out == payload
-
-    def test_multi_window_adversarial_fallback(self):
-        # 2 comp bytes per output byte: comp windows run dry mid-window,
-        # exercising the bail path (and the one-window fallback if the
-        # call budget is exhausted).
-        from snappy_tpu.ops import decode_stream
-
-        n = 150_000
-        body = b"".join(bytes([0x00, i & 0xFF]) for i in range(n))
-        want = bytes(bytearray((i & 0xFF) for i in range(n)))
-        out, reason = decode_stream.decode_raw_stream_bytes(
-            body, n, interpret=True, multi=True
-        )
-        assert reason == "ok" and out == want
-
     def test_stream_mutant_decisions_match_oracle(self):
         # Corrupted multi-window streams: accept/reject must match the
         # scalar oracle (and bytes when accepted).
@@ -361,3 +336,80 @@ class TestStreamingRawDecoder:
             assert (reason == "ok") == ref_ok, (trial, reason, ref_ok)
             if ref_ok:
                 assert out == bytes(ref_out), trial
+
+
+class TestGridStreamingDecoder:
+    """Grid-mode streaming decoder (one pallas_call per stream,
+    decode_stream.decode_raw_stream_grid): differential vs the scan-mode
+    decoder, multi-slice windows on adversarial expansion streams, and the
+    invalid-termination paths (stall guard / done-never-fires)."""
+
+    def _both(self, body, declared):
+        from snappy_tpu.ops import decode_stream
+
+        g = decode_stream.decode_raw_stream_bytes(
+            body, declared, interpret=True, mode="grid"
+        )
+        sc = decode_stream.decode_raw_stream_bytes(
+            body, declared, interpret=True, mode="scan"
+        )
+        assert g == sc, (g[1], sc[1], declared)
+        return g
+
+    def test_grid_vs_scan_differential(self):
+        rng = random.Random(21)
+        text = (b"grid versus scan differential payload text " * 4000)
+        for payload in (
+            text[:65536],              # exactly one window
+            text[:65537],
+            text[:140_000],            # pending segments across windows
+            bytes(rng.randbytes(90_000)),  # incompressible
+            b"z" * 200_000,            # RLE pending copies
+        ):
+            enc = s.encode(payload)
+            _, v = varint.decode_uint32(enc)
+            out, reason = self._both(enc[v:], len(payload))
+            assert reason == "ok" and out == payload
+
+    def test_grid_adversarial_expansion(self):
+        # 2 comp bytes per output byte: every window takes multiple comp
+        # slices (the step budget term ceil(comp_len / G_MIN_SLICE)).
+        from snappy_tpu.ops import decode_stream
+
+        n = 150_000
+        body = b"".join(bytes([0x00, i & 0xFF]) for i in range(n))
+        want = bytes(bytearray((i & 0xFF) for i in range(n)))
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            body, n, interpret=True, mode="grid"
+        )
+        assert reason == "ok" and out == want
+
+    def test_grid_invalid_terminations(self):
+        payload = (b"invalid termination payload " * 4000)[:100_000]
+        enc = s.encode(payload)
+        _, v = varint.decode_uint32(enc)
+        body = enc[v:]
+        # trailing garbage after a complete stream -> done never fires
+        out, reason = self._both(body + b"\x00", len(payload))
+        assert out is None and reason == "invalid"
+        # truncated stream -> stall guard
+        out, reason = self._both(body[:-5], len(payload))
+        assert out is None and reason == "invalid"
+        # declared larger than produced
+        out, reason = self._both(body, len(payload) + 1)
+        assert out is None and reason == "invalid"
+        # declared smaller than produced (total output overrun check)
+        out, reason = self._both(body, len(payload) - 1)
+        assert out is None and reason == "invalid"
+
+    def test_grid_mutant_decisions_match_scan(self):
+        payload = (b"grid mutation differential " * 6000)[:150_000]
+        enc = s.encode(payload)
+        _, v = varint.decode_uint32(enc)
+        base = enc[v:]
+        rng = random.Random(77)
+        for _ in range(6):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 3)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            self._both(bytes(b), len(payload))
