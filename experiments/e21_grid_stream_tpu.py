@@ -117,3 +117,12 @@ def run_grid_steps(name, payload, nit, n_steps_override):
 if "--steps" in sys.argv:
     for ns in (1536, 1024, 768):
         run_grid_steps("blob47", blob47, 2, ns)
+
+if '--mix' in sys.argv:
+    rng = np.random.default_rng(3)
+    incomp = rng.integers(0, 256, 47*1024*1024, dtype=np.uint8).tobytes()
+    rle = b"j" * (47*1024*1024)
+    textish = (corpus['plrabn12.txt'] * 110)[:47*1024*1024]
+    run_grid('incomp47', incomp, 3)
+    run_grid('rle47', rle, 3)
+    run_grid('text47', textish, 2)

@@ -884,22 +884,61 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
         pos1, w1, pk1, plen1 = service(start, w_in, pk0, plen0, poff0)
         stop0 = pk1 > 0
 
-        # ---- main tag loop (chunk-kernel v3 + window/split handling) ----
-        def cond(s):
-            pos, w, err, stop, pk, plen, poff = s
-            return (
-                (pos < navail)
-                & (~err)
-                & (~stop)
-                & (w < m)
-                & ~(more & (pos > navail - MARGIN))
-            )
+        # ---- main tag loop: two-tier fast/slow design ----
+        # The FAST inner loop carries the chunk decoder's op count: one
+        # fused `special` predicate folds every validation failure AND
+        # every window/slice-cap case (the checks share structure:
+        # `length > m - w` subsumes the global output-overrun test because
+        # m = min(65536, declared - base_w); `off > hist_cap + w` folds
+        # the written-history and 64 KiB-reach tests).  A special tag is
+        # NOT consumed — the loop exits and the SLOW step (full split/
+        # validation logic) resolves that one tag, then the fast loop
+        # resumes.  Measured: dense text 38 -> ~50 MB/s (experiments/e21).
+        hist_cap = jnp.minimum(base_w, jnp.int32(65536))
+        # continue while pos < navail_guard: with more input, stop inside
+        # the parse margin; at stream end, run to the exact last byte
+        navail_guard = jax.lax.select(
+            more, navail - jnp.int32(MARGIN - 1), navail
+        )
 
-        def tag_step(s):
+        def fast_step(s):
+            pos, w, _ = s
+            b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
+
+            pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
+            special = needs & (ext_val < 0)
+            special |= is_lit & ((pay_end > navail) | (pay_end < 0))
+            special |= (~is_lit) & (
+                (pos + hdr > navail) | (off <= 0) | (off > hist_cap + w)
+            )
+            special |= length > m - w
+
+            near = (~is_lit) & (off < 4)
+            redirect = special | near
+            src = jax.lax.select(is_lit, pos + hdr, G_OUT_BASE_B + w - off)
+            src = jnp.clip(src, 0, jnp.int32(4 * (G_BUF_WORDS - 4)))
+            dst = jax.lax.select(
+                redirect, jnp.int32(G_SCR_B), G_OUT_BASE_B + w
+            )
+            ln_eff = jax.lax.select(special, jnp.int32(4), length)
+            carry_ok = is_lit | (off >= 8) | redirect
+            emit_mem(dst, ln_eff, src, carry_ok)
+
+            @pl.when(near & (~special))
+            def _():
+                do_copy_near(G_OUT_BASE_B + w, off, length)
+
+            adv = pos + hdr + jax.lax.select(is_lit, length, jnp.int32(0))
+            pos2 = jax.lax.select(special, pos, adv)
+            w2 = jax.lax.select(special, w, w + length)
+            return pos2, w2, special
+
+        def slow_step(s):
+            """Full validation/split logic for the one tag the fast loop
+            flagged (decoder.nim:54-79, 111-113 + window/global caps)."""
             pos, w, err, stop, pk, plen, poff = s
             b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
 
-            # --- validation (decoder.nim:54-79, 111-113 + global caps) ---
             bad = needs & (ext_val < 0)
             pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
             bad |= is_lit & (~more) & ((pay_end > navail) | (pay_end < 0))
@@ -911,7 +950,7 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             unsup = (~is_lit) & (~bad) & (off > 65536 + w)
             bad |= unsup
 
-            # --- effective emission under window/slice caps ---
+            # effective emission under window/slice caps
             cap_out = m - w
             avail_payload = navail - (pos + hdr)
             eff = jnp.minimum(length, cap_out)
@@ -921,7 +960,6 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             eff = jnp.maximum(eff, 0)
             split = (~bad) & (eff < length)
 
-            # --- branchless emit: literal or far copy; near/bad redirect ---
             near = (~is_lit) & (off < 4) & (~bad)
             redirect = bad | near
             src = jax.lax.select(is_lit, pos + hdr, G_OUT_BASE_B + w - off)
@@ -954,9 +992,30 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
 
             return pos2, w2, err | bad, stop | split, pk2, plen2, poff2
 
+        def cond(s):
+            pos, w, err, stop, pk, plen, poff = s
+            return (pos < navail_guard) & (~err) & (~stop) & (w < m)
+
+        def tag_round(s):
+            pos, w, err, stop, pk, plen, poff = s
+            pos, w, sp = jax.lax.while_loop(
+                lambda fs: (fs[0] < navail_guard) & (~fs[2]) & (fs[1] < m),
+                fast_step,
+                (pos, w, jnp.bool_(False)),
+            )
+            # sp=True means the cursor sits AT an unconsumed special tag
+            # (bad, split, or a literal straddling the slice) with the
+            # loop bounds still satisfied; resolve exactly that tag.
+            return jax.lax.cond(
+                sp,
+                slow_step,
+                lambda s2: s2,
+                (pos, w, err, stop, pk, plen, poff),
+            )
+
         pos, w, err, stop, pk, plen, poff = jax.lax.while_loop(
             cond,
-            tag_step,
+            tag_round,
             (pos1, w1, jnp.bool_(False), stop0, pk1, plen1, poff0),
         )
 
