@@ -45,8 +45,10 @@ long-literal streams vs v2; 16-byte loop strides measured no better than
 * **Fused parse loads**: the tag byte and its extension word always sit
   in the same two SMEM words — two loads and a funnel shift replace the
   separate byte and word fetches.
-* **Offset-mask LUT bank**: ``off = off_base | (ext & lut[512+b])``
-  replaces the tag-type select chain.
+* **Unified mask LUT bank**: ``off = off_base | (ext & lut[256+b])``
+  replaces the tag-type select chain; one mask bank serves the literal
+  length extension and the copy offset alike (a tag is never both), so
+  the parse is two LUT loads per tag.
 * **Fused head**: the first 8 output bytes take one read-modify-write
   (preserving bytes below the cursor) plus clobber-allowed full-word
   stores — everything at or past the cursor may be overwritten and is
@@ -102,20 +104,22 @@ RAW_OUT_WORDS = 32768  # 131072 bytes (32 * 1024)
 _I32 = jnp.int32
 
 # LUT field packing: hdr[0:3] | is_lit[3] | needs_ext[4] | base_len[5:12]
-# | copy1_offset_base[12:23]; entries 256..511 hold the literal-extension
-# byte mask ((1 << 8*ex) - 1, or -1 for the 4-byte extension); entries
-# 512..767 hold the copy-offset extension mask (0 for literals, 0xFF /
-# 0xFFFF / -1 for copy-1/2/4) so the offset decode is one AND+OR instead
-# of a tag-type select chain.
+# | copy1_offset_base[12:23]; entries 256..511 hold ONE unified extension
+# mask — the literal-extension byte mask ((1 << 8*ex) - 1, or -1 for the
+# 4-byte extension) for literal tags, the copy-offset extension mask
+# (0xFF / 0xFFFF / -1 for copy-1/2/4) for copy tags.  A tag is never
+# both, so one bank (and one SMEM load per tag) serves the length and
+# the offset decode alike: ext_val is only read when needs_ext (literal)
+# and off only when ~is_lit (copy).
 _LUT_HDR_MASK = 7
 _LUT_LIT = 8
 _LUT_EXT = 16
-LUT_WORDS = 768
+LUT_WORDS = 512
 
 
 @functools.cache
 def _host_lut() -> np.ndarray:
-    """256-entry tag-decode table + extension/offset mask banks (numpy —
+    """256-entry tag-decode table + unified extension-mask bank (numpy —
     jnp arrays created inside a trace must not be cached)."""
     lut = np.zeros(LUT_WORDS, np.int32)
     for b in range(256):
@@ -131,13 +135,13 @@ def _host_lut() -> np.ndarray:
             lut[256 + b] = -1 if ex == 4 else (1 << (8 * ex)) - 1
         elif t == 1:  # copy with 1-byte extra (decoder.nim:87-95)
             lut[b] = 2 | ((4 + (lc & 7)) << 5) | (((b & 0xE0) << 3) << 12)
-            lut[512 + b] = 0xFF
+            lut[256 + b] = 0xFF
         elif t == 2:  # copy with 2-byte offset (decoder.nim:97-102)
             lut[b] = 3 | ((1 + lc) << 5)
-            lut[512 + b] = 0xFFFF
+            lut[256 + b] = 0xFFFF
         else:  # copy with 4-byte offset (decoder.nim:104-109)
             lut[b] = 5 | ((1 + lc) << 5)
-            lut[512 + b] = -1
+            lut[256 + b] = -1
     return lut
 
 
@@ -149,7 +153,7 @@ def _make_kernel(cw_pad: int, out_words: int):
                 buf_ref, sem_in, sem_out):
         """Decode one chunk per grid step.
 
-        lut_ref:    SMEM [768] int32 — tag LUT (+ ext/offset masks)
+        lut_ref:    SMEM [512] int32 — tag LUT + unified ext-mask bank
         meta_ref:   SMEM [1, 1, 2] int32 — (comp_len, out_len) in bytes
         comp_ref:   ANY  [nb * cw_pad] int32 — packed LE bytes per chunk
         out_ref:    ANY  [nb * out_words] int32 — packed output

@@ -427,7 +427,8 @@ def _kernel(lut_ref, st_ref, comp_ref, prev_ref, out_ref, so_ref):
 
         ext_val = ext_word & em
         length = jax.lax.select(needs, ext_val + 1, lenb)
-        off = off_base | (ext_word & lut_ref[512 + b])
+        # unified mask bank: ext_val carries the offset bits for copies
+        off = off_base | ext_val
 
         # ---- validation (global semantics) ----
         bad = needs & ((ext_val < 0) | (length < 0))

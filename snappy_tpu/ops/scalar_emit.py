@@ -18,7 +18,7 @@ Design notes (measured, experiments/e15+e18):
   (scalar analog of the reference's pattern-doubling, decoder.nim:130-144);
   offset 3 takes a byte loop (copy lengths are <= 64).
 * **Fused LUT parse**: the tag byte and its extension word always sit in
-  the same two SMEM words; a 768-entry LUT (see decode_scalar._host_lut)
+  the same two SMEM words; a 512-entry LUT (see decode_scalar._host_lut)
   maps the tag byte to header/flags/length and offset-extension masks.
 """
 
@@ -231,7 +231,7 @@ def make_parser(lut_ref, buf_ref):
             | (w1 << (32 - she)),
         )
         e = lut_ref[b]
-        em = lut_ref[256 + b]
+        em = lut_ref[256 + b]  # unified mask: literal-ext OR copy-offset
         hdr = e & 7
         is_lit = (e & 8) != 0
         needs = (e & 16) != 0
@@ -239,7 +239,9 @@ def make_parser(lut_ref, buf_ref):
         off_base = (e >> 12) & 0x7FF
         ext_val = ext_word & em
         length = jax.lax.select(needs, ext_val + 1, lenb)
-        off = off_base | (ext_word & lut_ref[512 + b])
+        # for literals off is garbage (== ext_val) — callers only read it
+        # under ~is_lit
+        off = off_base | ext_val
         return b, hdr, is_lit, needs, ext_val, length, off
 
     return parse
