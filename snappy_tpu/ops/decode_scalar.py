@@ -173,10 +173,11 @@ def _make_kernel(cw_pad: int, out_words: int):
         copy_in.wait()
 
         BUF_CAP = cw_pad + out_words + SCR_WORDS
-        emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(
-            buf_ref, BUF_CAP
-        )
+        emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(buf_ref)
         parse = scalar_emit.make_parser(lut_ref, buf_ref)
+        dispatch = scalar_emit.make_tag_dispatch(
+            emit_mem, do_copy_near, out_base_b, scr_b, BUF_CAP
+        )
 
         def tag_step(state):
             pos, w, err = state
@@ -193,23 +194,7 @@ def _make_kernel(cw_pad: int, out_words: int):
             bad |= length > m - w
             bad |= (~is_lit) & ((off <= 0) | (off > w))
 
-            # --- branchless main emit: literal or far copy ---
-            near = (~is_lit) & (off < 4)
-            redirect = bad | near
-            src = jax.lax.select(is_lit, pos + hdr, out_base_b + w - off)
-            # A malformed tagCopy4 offset is an arbitrary 32-bit value (and
-            # tagCopy2 up to 65535 > w), so before validation masks the
-            # emit, src must be clamped into the buffer on BOTH sides —
-            # redirected emits still *read* from src.
-            src = jnp.clip(src, 0, jnp.int32(4 * (BUF_CAP - 4)))
-            dst = jax.lax.select(redirect, jnp.int32(scr_b), out_base_b + w)
-            ln_eff = jax.lax.select(bad, jnp.int32(4), length)
-            carry_ok = is_lit | (off >= 8) | redirect
-            emit_mem(dst, ln_eff, src, carry_ok)
-
-            @pl.when(near & ~bad)
-            def _():
-                do_copy_near(out_base_b + w, off, length)
+            dispatch(pos, w, hdr, is_lit, off, bad, length)
 
             pos2 = jax.lax.select(bad, pos, pos + consumed)
             w2 = jax.lax.select(bad, w, w + length)

@@ -673,6 +673,8 @@ def decode_raw_stream_bytes(
         interpret = decode_scalar._forced_interpret()
     if mode is None:
         mode = os.environ.get("SNAPPY_TPU_STREAM_MODE", "grid")
+    if mode not in ("grid", "scan"):
+        raise ValueError(f"SNAPPY_TPU_STREAM_MODE must be grid|scan: {mode!r}")
     if mode == "grid" and declared > 0:
         words_b, n_win, n_steps = _grid_shapes(len(body), declared)
         buf = np.zeros((words_b * 4,), dtype=np.uint8)
@@ -781,6 +783,7 @@ _GS_POFF = 5
 _GS_ERR = 6
 _GS_DONE = 7
 _GS_UNSUP = 8
+_GS_ALP = 9       # aligned comp-slice cursor currently resident in SMEM
 
 
 def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
@@ -815,21 +818,32 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
     @pl.when(active)
     def _():
         # ---- bring the comp slice at the cursor into SMEM ----
+        # (skipped when the aligned cursor is unchanged from the previous
+        # step — high-ratio streams decode many windows per slice, and
+        # nothing overwrites the comp region between steps)
         al = pl.multiple_of(((pos_t >> 2) >> 10) << 10, 1024)
-        dma_c = pltpu.make_async_copy(
-            comp_hbm.at[pl.ds(al, G_SCB)], buf_ref.at[pl.ds(0, G_SCB)], sem_c
-        )
-        dma_c.start()
-        dma_c.wait()
+
+        @pl.when((g == 0) | (al != ms[_GS_ALP]))
+        def _():
+            dma_c = pltpu.make_async_copy(
+                comp_hbm.at[pl.ds(al, G_SCB)],
+                buf_ref.at[pl.ds(0, G_SCB)],
+                sem_c,
+            )
+            dma_c.start()
+            dma_c.wait()
+            ms[_GS_ALP] = al
+
         start = pos_t - 4 * al                      # in [0, 4096)
         navail = jnp.minimum(comp_len - 4 * al, jnp.int32(4 * G_SCB - 64))
         more = (4 * al + navail) < comp_len
         m = jnp.minimum(jnp.int32(65536), declared - base_w)
 
-        emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(
-            buf_ref, G_BUF_WORDS
-        )
+        emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(buf_ref)
         parse = scalar_emit.make_parser(lut_ref, buf_ref)
+        dispatch = scalar_emit.make_tag_dispatch(
+            emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS
+        )
         _TRUE = jnp.bool_(True)
 
         def do_copy(w, off, length):
@@ -907,27 +921,14 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
 
             pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
-            special = needs & (ext_val < 0)
+            special = needs & ((ext_val < 0) | (length < 0))
             special |= is_lit & ((pay_end > navail) | (pay_end < 0))
             special |= (~is_lit) & (
                 (pos + hdr > navail) | (off <= 0) | (off > hist_cap + w)
             )
             special |= length > m - w
 
-            near = (~is_lit) & (off < 4)
-            redirect = special | near
-            src = jax.lax.select(is_lit, pos + hdr, G_OUT_BASE_B + w - off)
-            src = jnp.clip(src, 0, jnp.int32(4 * (G_BUF_WORDS - 4)))
-            dst = jax.lax.select(
-                redirect, jnp.int32(G_SCR_B), G_OUT_BASE_B + w
-            )
-            ln_eff = jax.lax.select(special, jnp.int32(4), length)
-            carry_ok = is_lit | (off >= 8) | redirect
-            emit_mem(dst, ln_eff, src, carry_ok)
-
-            @pl.when(near & (~special))
-            def _():
-                do_copy_near(G_OUT_BASE_B + w, off, length)
+            dispatch(pos, w, hdr, is_lit, off, special, length)
 
             adv = pos + hdr + jax.lax.select(is_lit, length, jnp.int32(0))
             pos2 = jax.lax.select(special, pos, adv)
@@ -940,7 +941,10 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             pos, w, err, stop, pk, plen, poff = s
             b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
 
-            bad = needs & (ext_val < 0)
+            # int32 overflow of the 4-byte length extension (length < 0,
+            # e.g. ext_val == 0x7fffffff) must be rejected here too: the
+            # caps below all compare false against a negative length
+            bad = needs & ((ext_val < 0) | (length < 0))
             pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
             bad |= is_lit & (~more) & ((pay_end > navail) | (pay_end < 0))
             bad |= (~is_lit) & (pos + hdr > navail)
@@ -961,20 +965,7 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             eff = jnp.maximum(eff, 0)
             split = (~bad) & (eff < length)
 
-            near = (~is_lit) & (off < 4) & (~bad)
-            redirect = bad | near
-            src = jax.lax.select(is_lit, pos + hdr, G_OUT_BASE_B + w - off)
-            src = jnp.clip(src, 0, jnp.int32(4 * (G_BUF_WORDS - 4)))
-            dst = jax.lax.select(
-                redirect, jnp.int32(G_SCR_B), G_OUT_BASE_B + w
-            )
-            ln_eff = jax.lax.select(bad, jnp.int32(4), eff)
-            carry_ok = is_lit | (off >= 8) | redirect
-            emit_mem(dst, ln_eff, src, carry_ok)
-
-            @pl.when(near)
-            def _():
-                do_copy_near(G_OUT_BASE_B + w, off, eff)
+            dispatch(pos, w, hdr, is_lit, off, bad, eff)
 
             pos2 = jax.lax.select(
                 bad, pos, pos + hdr + jax.lax.select(is_lit, eff, jnp.int32(0))

@@ -29,11 +29,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def make_emit_ops(buf_ref, buf_cap_words: int):
+def make_emit_ops(buf_ref):
     """Build the emit closures over one unified SMEM buffer.
 
-    buf_cap_words: total words in buf_ref (used only for read clamps).
-    Returns (emit_mem, emit_pat, do_copy_near, gbyte, pbyte).
+    Returns (emit_mem, emit_pat, do_copy_near, gbyte, pbyte).  None of
+    the closures bounds-check: callers clamp sources themselves (or use
+    make_tag_dispatch, which does).
     """
 
     def gbyte(p):
@@ -211,11 +212,14 @@ def make_emit_ops(buf_ref, buf_cap_words: int):
 
 def make_parser(lut_ref, buf_ref):
     """Fused LUT tag parse: returns parse(pos) ->
-    (b, hdr, is_lit, needs, lenb, off_base, ext_word, ext_mask).
+    (b, hdr, is_lit, needs, ext_val, length, off).
 
     The tag byte and its extension word (bytes pos+1..pos+4, covering the
-    literal length extension and the copy offset alike) always live in the
-    same two SMEM words.
+    literal length extension and the copy offset alike) always live in
+    the same two SMEM words.  length/off are the fully decoded values;
+    ext_val is exposed for the overflow checks (callers must reject
+    ``needs & ((ext_val < 0) | (length < 0))``).  For literal tags
+    ``off`` is garbage (== ext_val) — read it only under ``~is_lit``.
     """
 
     def parse(pos):
@@ -245,3 +249,38 @@ def make_parser(lut_ref, buf_ref):
         return b, hdr, is_lit, needs, ext_val, length, off
 
     return parse
+
+
+def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
+                      buf_cap_words: int):
+    """The shared redirect-emit idiom used by every tag loop.
+
+    One branchless ``emit_mem`` serves literals and far copies alike;
+    near copies (off < 4) and suppressed tags (validation failure or a
+    fast-loop 'special' exit) redirect the word-emit to the dead-store
+    scratch slot at ``scr_b`` with a clamped 4-byte length, so the hot
+    path has no taken branch.  The source is clamped into the buffer on
+    both sides BEFORE validation masks the emit — suppressed emits still
+    read from ``src`` (a malformed tagCopy4 offset is an arbitrary
+    32-bit value).
+
+    dispatch(pos, w, hdr, is_lit, off, suppress, eff):
+      suppress — tag must not emit for real
+      eff      — bytes to emit, >= 0, already capped by the caller
+    """
+
+    def dispatch(pos, w, hdr, is_lit, off, suppress, eff):
+        near = (~is_lit) & (off < 4) & (~suppress)
+        redirect = suppress | near
+        src = jax.lax.select(is_lit, pos + hdr, out_base_b + w - off)
+        src = jnp.clip(src, 0, jnp.int32(4 * (buf_cap_words - 4)))
+        dst = jax.lax.select(redirect, jnp.int32(scr_b), out_base_b + w)
+        ln_eff = jax.lax.select(suppress, jnp.int32(4), eff)
+        carry_ok = is_lit | (off >= 8) | redirect
+        emit_mem(dst, ln_eff, src, carry_ok)
+
+        @pl.when(near)
+        def _():
+            do_copy_near(out_base_b + w, off, eff)
+
+    return dispatch

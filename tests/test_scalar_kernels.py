@@ -413,3 +413,23 @@ class TestGridStreamingDecoder:
             for _ in range(rng.randrange(1, 3)):
                 b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
             self._both(bytes(b), len(payload))
+
+    def test_grid_overflow_literal_rejected_mid_stream(self):
+        """Length-extension int32 overflow (ext 0x7fffffff -> length
+        wraps to INT_MIN) while more comp input remains: the `more` gate
+        bypasses the pay_end checks, so only the explicit length < 0
+        validation rejects it.  Regression: the grid kernels initially
+        dropped that check, silently consumed the poisoned 5-byte header
+        as a no-op, decoded the untouched remainder, and returned OK for
+        a stream every other decoder rejects (verified: this test fails
+        with that check removed)."""
+        payload = bytes(random.Random(55).randbytes(120_000))
+        enc = s.encode(payload)
+        _, v = varint.decode_uint32(enc)
+        # poison tag 0xFC = literal with 4-byte length extension, value
+        # 0x7fffffff; prepended so the remainder is a valid stream — a
+        # decoder that no-op-skips the poison reaches ok with the right
+        # byte count, so only real validation catches it
+        body = bytes([0xFC, 0xFF, 0xFF, 0xFF, 0x7F]) + enc[v:]
+        out, reason = self._both(body, len(payload))
+        assert out is None and reason == "invalid"
