@@ -403,6 +403,26 @@ def bench_device(datasets):
         )
 
 
+def _device_reachable() -> bool:
+    """Pre-flight for the axon environment: the TPU is reached through a
+    local stdio relay listening on 127.0.0.1:8082+; when the relay dies,
+    every jax call (even jax.devices()) hangs forever, so probe the
+    socket before dispatching the killable device subprocess."""
+    import socket
+
+    ips = os.environ.get("PALLAS_AXON_POOL_IPS")
+    if not ips:
+        return True  # not the relay environment; let jax decide
+    host = ips.split(",")[0]
+    for port in (8082, 8092, 8102, 8112):
+        try:
+            with socket.create_connection((host, port), timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main():
     from snappy_tpu.testing import corpus
 
@@ -423,7 +443,12 @@ def main():
     if BENCH_BIG:
         bench_big(datasets)
 
-    if BENCH_DEVICE:
+    if BENCH_DEVICE and not _device_reachable():
+        log(
+            "device bench skipped: axon relay not listening (a dead relay "
+            "hangs every jax call; see tools/warm_device.py after recovery)"
+        )
+    elif BENCH_DEVICE:
         # The device section runs in a killable subprocess: a wedged TPU
         # tunnel must not be able to hang the benchmark (a stuck device
         # call cannot be interrupted in-process).
