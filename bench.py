@@ -223,7 +223,7 @@ def bench_device(datasets):
 
     from snappy_tpu import engine
     from snappy_tpu.formats import constants as C
-    from snappy_tpu.formats import framing, varint
+    from snappy_tpu.formats import varint
 
     log(f"== device kernels ({jax.devices()[0]}) ==")
     name = "html"
