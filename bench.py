@@ -214,11 +214,10 @@ def bench_big(datasets):
 def bench_device(datasets):
     import jax
 
-    try:  # persistent cache: device-section compiles survive across runs
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compilation")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from snappy_tpu import config as stpu_config
+
+    # persistent cache: device-section compiles survive across runs
+    stpu_config.ensure_compilation_cache()
     import jax.numpy as jnp
 
     from snappy_tpu import engine

@@ -19,6 +19,10 @@ Error-model parity: the ``*_into`` functions are exception-free and return
 ``Result`` values with the reference's typed enums (codec.nim:56-64); the
 bytes-returning conveniences mirror the reference's seq-returning functions,
 which yield an empty result on any failure (snappy.nim:112-128, 269-290).
+One deliberate exception to the Result contract: passing a READ-ONLY
+output buffer to an ``*_into`` function is a caller type error with no
+reference analog (Nim's ``var openArray`` is writable by construction)
+and raises ``TypeError`` up front, identically on every backend.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ from typing import Tuple, Union
 from . import engine
 from .formats import constants as C
 from .formats import framing
+from .formats import varint
 from .formats.errors import (
     CodecError,
     Err,
@@ -43,6 +48,14 @@ _FRAME_REASONS = {
     "unknown_chunk": FrameError.unknown_chunk,
     "too_large": FrameError.invalid_input,
 }
+
+
+def _require_writable(out) -> None:
+    if memoryview(out).readonly:
+        raise TypeError(
+            "output buffer is read-only; pass a bytearray or writable "
+            "memoryview"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -68,6 +81,7 @@ def encode(data: bytes, level: int = 1) -> bytes:
 def compress_into(data: bytes, out: bytearray) -> Result[int]:
     """Compress into a caller buffer; returns the written length or
     ``buffer_too_small``/``invalid_input`` (snappy.nim:27-64)."""
+    _require_writable(out)
     if len(data) > C.MAX_UNCOMPRESSED_LEN:
         return Err(CodecError.invalid_input)
     if len(out) < C.max_compressed_len(len(data)):
@@ -91,7 +105,7 @@ def uncompress_into(data: bytes, out: Union[bytearray, memoryview]) -> Result[in
     """Decompress into a caller buffer; written length or typed error
     (snappy.nim:84-110).  The declared length must fit ``out`` exactly like
     the reference: too-small buffers yield ``buffer_too_small``."""
-    from .formats import varint
+    _require_writable(out)
 
     # The reference reads the uint32 Leb128 header FIRST (snappy.nim:92-94)
     # — an overlong/non-canonical varint is invalid_input even when the
@@ -143,6 +157,7 @@ def encode_framed(data: bytes, level: int = 1) -> bytes:
 
 def compress_framed_into(data: bytes, out: bytearray) -> Result[int]:
     """Framed compress into a caller buffer (snappy.nim:130-155)."""
+    _require_writable(out)
     if len(out) < C.max_compressed_len_framed(len(data)):
         return Err(FrameError.buffer_too_small)
 
@@ -198,6 +213,7 @@ def uncompress_framed_into(
     test_framed.nim:38-59).  ``check_integrity=False`` skips CRC verification
     (snappy.nim:171).
     """
+    _require_writable(out)
     data = bytes(data)
     read = 0
     if check_header:
@@ -213,28 +229,45 @@ def uncompress_framed_into(
     # the resume point is never inspected, so callers streaming partial
     # input windows get Ok((read, written)) for the valid fitting prefix
     # rather than a hard error.
+    #
+    # Error ORDER parity: the reference fully processes (decodes and
+    # CRC-verifies) every earlier chunk before it even parses the header
+    # of the next one, so a walk-time failure at chunk k must NOT be
+    # reported until the taken prefix 0..k-1 has been decoded — an earlier
+    # chunk's decode/CRC error takes precedence (``walk_err`` defers it).
     n = len(data)
     budget = len(out)
     taken = []
     written_plan = 0
+    walk_err = None
     while n - read > 0:
         if n - read < 4:
-            return Err(FrameError.invalid_input)
+            walk_err = FrameError.invalid_input
+            break
         cid, data_len = framing.decode_frame_header(data[read : read + 4])
         if n - read - 4 < data_len:
-            return Err(FrameError.invalid_input)
+            walk_err = FrameError.invalid_input
+            break
         data_pos = read + 4
         if cid == C.CHUNK_COMPRESSED:
             if data_len < 4:
-                return Err(FrameError.invalid_input)
-            inner = framing.uncompressed_len(data[data_pos + 4 : data_pos + data_len])
+                walk_err = FrameError.invalid_input
+                break
+            # strict uint32 varint (snappy.nim:92 reads Leb128 uint32
+            # FIRST): an overlong >5-byte inner length is invalid_input
+            # even when the chunk would not have fit the output budget
+            inner, _ir = varint.decode_uint32(
+                bytes(data[data_pos + 4 : data_pos + 4 + 5])
+            )
             if inner is None or inner > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
-                return Err(FrameError.invalid_input)
+                walk_err = FrameError.invalid_input
+                break
             if inner > budget - written_plan:
                 break  # resume point: this chunk's header offset
         elif cid == C.CHUNK_UNCOMPRESSED:
             if data_len < 4:
-                return Err(FrameError.invalid_input)
+                walk_err = FrameError.invalid_input
+                break
             inner = data_len - 4
             if (
                 inner > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN
@@ -250,12 +283,14 @@ def uncompress_framed_into(
                     stored = int.from_bytes(data[data_pos : data_pos + 4], "little")
                     payload = data[data_pos + 4 : data_pos + data_len]
                     if crc32c_native.masked_crc32c(payload) != stored:
-                        return Err(FrameError.crc_mismatch)
+                        walk_err = FrameError.crc_mismatch
+                        break
                 if inner > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
-                    return Err(FrameError.invalid_input)
+                    walk_err = FrameError.invalid_input
                 break
         elif cid < C.CHUNK_RESERVED_SKIPPABLE_LO:
-            return Err(FrameError.unknown_chunk)
+            walk_err = FrameError.unknown_chunk
+            break
         else:
             inner = 0  # skippable chunk (incl. 0xff stream header): consume
         taken.append(framing.ChunkInfo(cid, read, data_pos, data_len, inner))
@@ -291,6 +326,10 @@ def uncompress_framed_into(
             written = len(blob)
     else:
         written = 0
+    if walk_err is not None:
+        # the taken prefix decoded cleanly; the walk-time failure is the
+        # earliest error in the stream
+        return Err(walk_err)
     return Ok((read, written))
 
 

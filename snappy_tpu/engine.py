@@ -431,35 +431,48 @@ def framed_uncompress_chunks(
     arr = np.frombuffer(data, dtype=np.uint8)
     outputs: List[Optional[bytes]] = [None] * len(chunks)
 
+    # Error ORDER parity: the reference processes chunks strictly one at a
+    # time (snappy.nim:199-265), so the error reported must belong to the
+    # EARLIEST bad chunk.  This scan stops at the first failure it can see
+    # host-side, but an earlier COMPRESSED chunk may still fail on-device
+    # — its decode/CRC error takes precedence below (all batched jobs have
+    # lower chunk indices than ``deferred_err`` by construction).
+    deferred_err: Optional[str] = None
     comp_jobs = []  # (chunk_index, payload_slice, declared, stored_crc)
     for ci, ch in enumerate(chunks):
         if ch.id == C.CHUNK_COMPRESSED:
             if ch.data_len < 4:
-                return None, "invalid"
+                deferred_err = "invalid"
+                break
             stored = int.from_bytes(
                 data[ch.data_pos : ch.data_pos + 4], "little"
             )
             payload = arr[ch.data_pos + 4 : ch.data_pos + ch.data_len]
             declared, read = varint.decode_uint32(payload)
             if declared is None or declared > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
-                return None, "invalid"
+                deferred_err = "invalid"
+                break
             comp_jobs.append((ci, payload[read:], int(declared), stored))
         elif ch.id == C.CHUNK_UNCOMPRESSED:
             if ch.data_len < 4:
-                return None, "invalid"
+                deferred_err = "invalid"
+                break
             stored = int.from_bytes(
                 data[ch.data_pos : ch.data_pos + 4], "little"
             )
             payload = data[ch.data_pos + 4 : ch.data_pos + ch.data_len]
             if len(payload) > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
-                return None, "invalid"
+                deferred_err = "invalid"
+                break
             if check_integrity and crc32c_native.masked_crc32c(payload) != stored:
-                return None, "crc"
+                deferred_err = "crc"
+                break
             outputs[ci] = payload
         elif ch.id == C.CHUNK_STREAM_HEADER:
             outputs[ci] = b""
         elif ch.id < C.CHUNK_RESERVED_SKIPPABLE_LO:
-            return None, "unknown_chunk"
+            deferred_err = "unknown_chunk"
+            break
         else:
             outputs[ci] = b""  # reserved skippable: ignore payload
 
@@ -492,6 +505,8 @@ def framed_uncompress_chunks(
                     if check_integrity and int(crcs[k]) != stored:
                         return None, "crc"
                     outputs[ci] = out_b[k, 0, :declared].tobytes()
+            if deferred_err is not None:
+                return None, deferred_err
             return [o if o is not None else b"" for o in outputs], "ok"
 
         max_body = max(len(j[1]) for j in comp_jobs)
@@ -520,6 +535,8 @@ def framed_uncompress_chunks(
                 return None, "crc"
             outputs[ci] = out[k, :declared].tobytes()
 
+    if deferred_err is not None:
+        return None, deferred_err
     return [o if o is not None else b"" for o in outputs], "ok"
 
 

@@ -285,10 +285,11 @@ class TestPartialWindowResume:
     def test_nonfitting_uncompressed_chunk_crc_checked_first(self):
         # Reference order: CRC verify happens before the fit check for
         # uncompressed chunks (snappy.nim:244-251).
-        payload = b"\x37" * 1000  # stored verbatim (incompressible? no - RLE)
-        import os as _os
+        import random as _random
 
-        payload = _os.urandom(1000)  # incompressible -> uncompressed chunk
+        # incompressible (seeded, reproducible) -> stored as an
+        # uncompressed chunk
+        payload = _random.Random(288).randbytes(1000)
         enc = s.encode_framed(payload)
         chunks = framing.scan_frames(enc, len(C.FRAMING_HEADER))
         assert chunks[0].id == C.CHUNK_UNCOMPRESSED
@@ -342,3 +343,80 @@ class TestKeepCompressedThreshold:
                     f"{backend} trial {trial}: flen={flen} enc_len={enc_len} "
                     f"threshold={flen - flen // 8}"
                 )
+
+
+class TestErrorOrderParity:
+    """The reference processes chunks strictly one at a time
+    (snappy.nim:199-265): the error reported must belong to the EARLIEST
+    bad chunk, on every backend.  Regressions: the batched device decode
+    checked uncompressed-chunk CRCs before decoding any compressed chunk,
+    and the uncompress_framed_into walk reported a later structural error
+    before verifying taken chunks."""
+
+    def _frame(self, cid, payload):
+        return bytes([cid]) + len(payload).to_bytes(3, "little") + payload
+
+    def _uncompressed_chunk(self, data, bad_crc=False):
+        crc = crc32c_native.masked_crc32c(data)
+        if bad_crc:
+            crc ^= 0xFF
+        return self._frame(
+            C.CHUNK_UNCOMPRESSED, crc.to_bytes(4, "little") + data
+        )
+
+    def _backends(self):
+        from snappy_tpu.ops import host_codec
+
+        return ["device"] + (["host"] if host_codec.available() else [])
+
+    def test_bad_compressed_body_beats_later_bad_crc(self):
+        # chunk0: structurally-valid compressed chunk whose BODY fails tag
+        # decode; chunk1: uncompressed chunk with corrupted CRC.  The
+        # reference decodes chunk0 first -> invalidInput.
+        from snappy_tpu import engine
+
+        body = b"\x05\xff\xff"  # declared 5, truncated literal
+        crc = crc32c_native.masked_crc32c(b"x")  # arbitrary stored CRC
+        chunk0 = self._frame(C.CHUNK_COMPRESSED, crc.to_bytes(4, "little") + body)
+        chunk1 = self._uncompressed_chunk(b"tail data", bad_crc=True)
+        stream = bytes(C.FRAMING_HEADER) + chunk0 + chunk1
+        for backend in self._backends():
+            got, reason = engine.framed_uncompress(stream, backend=backend)
+            assert got is None and reason == "invalid", (backend, reason)
+        res = s.uncompress_framed_into(stream, bytearray(1 << 16))
+        assert res.is_err() and res.error == s.FrameError.invalid_input
+
+    def test_bad_crc_beats_later_unknown_chunk(self):
+        # chunk0: fitting uncompressed chunk with bad CRC; chunk1: unknown
+        # unskippable chunk id.  The reference verifies chunk0's CRC before
+        # parsing chunk1 -> crcMismatch.
+        chunk0 = self._uncompressed_chunk(b"first chunk payload", bad_crc=True)
+        chunk1 = self._frame(0x40, b"")
+        stream = bytes(C.FRAMING_HEADER) + chunk0 + chunk1
+        res = s.uncompress_framed_into(stream, bytearray(1 << 16))
+        assert res.is_err() and res.error == s.FrameError.crc_mismatch
+        # with integrity off, the unknown chunk is the first error
+        res = s.uncompress_framed_into(
+            stream, bytearray(1 << 16), check_integrity=False
+        )
+        assert res.is_err() and res.error == s.FrameError.unknown_chunk
+
+    def test_bad_crc_beats_later_truncation(self):
+        chunk0 = self._uncompressed_chunk(b"first chunk payload", bad_crc=True)
+        stream = bytes(C.FRAMING_HEADER) + chunk0 + b"\x00\x08"  # torn header
+        res = s.uncompress_framed_into(stream, bytearray(1 << 16))
+        assert res.is_err() and res.error == s.FrameError.crc_mismatch
+
+    def test_overlong_inner_varint_rejected_on_resume_path(self):
+        # A compressed chunk whose inner length is a non-canonical 6-byte
+        # varint must be invalid_input even when the chunk would not have
+        # fit the output budget (the reference reads the uint32 Leb128
+        # FIRST, snappy.nim:92); regression: the walk used the lenient
+        # uint64 scanner and returned Ok(resume).
+        overlong = b"\xe4\x80\x80\x80\x80\x00"  # value 100, 6 bytes
+        body = overlong + b"\x00" * 4
+        crc = crc32c_native.masked_crc32c(b"")
+        chunk0 = self._frame(C.CHUNK_COMPRESSED, crc.to_bytes(4, "little") + body)
+        stream = bytes(C.FRAMING_HEADER) + chunk0
+        res = s.uncompress_framed_into(stream, bytearray(10))  # budget 10 < 100
+        assert res.is_err() and res.error == s.FrameError.invalid_input

@@ -16,9 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compilation")
-
 import snappy_tpu as s
+from snappy_tpu import config as stpu_config
+
+stpu_config.ensure_compilation_cache()
 from snappy_tpu import engine
 from snappy_tpu.formats import varint
 from snappy_tpu.ops import crc32c_jax, crc32c_pallas, decode_scalar, \
