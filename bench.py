@@ -156,13 +156,15 @@ def bench_host(datasets):
     fenc = engine.framed_compress(big, backend="host")
     fenc_buf = np.empty((Cc.max_compressed_len_framed(len(big)),), np.uint8)
     te = mean_time(
-        lambda: host_codec.framed_compress_into(big, fenc_buf), samples=8
+        lambda: host_codec.framed_compress_into(big, fenc_buf), samples=12
     )
     big_out = bytearray(len(big))
     res = s.uncompress_framed_into(fenc, big_out)
     assert res.is_ok() and res.unwrap() == (len(fenc), len(big))
     assert bytes(big_out) == big
-    td = mean_time(lambda: s.uncompress_framed_into(fenc, big_out), samples=8)
+    # 16 samples: the headline metric; min-of-N needs more draws to find a
+    # quiet slot when the shared VM is loaded (observed 2x swings)
+    td = mean_time(lambda: s.uncompress_framed_into(fenc, big_out), samples=16)
     framed_enc_gbps = len(big) / te / 1e9
     framed_dec_gbps = len(big) / td / 1e9
     log(
