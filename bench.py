@@ -405,23 +405,9 @@ def bench_device(datasets):
 
 
 def _device_reachable() -> bool:
-    """Pre-flight for the axon environment: the TPU is reached through a
-    local stdio relay listening on 127.0.0.1:8082+; when the relay dies,
-    every jax call (even jax.devices()) hangs forever, so probe the
-    socket before dispatching the killable device subprocess."""
-    import socket
+    from snappy_tpu import config as stpu_config
 
-    ips = os.environ.get("PALLAS_AXON_POOL_IPS")
-    if not ips:
-        return True  # not the relay environment; let jax decide
-    host = ips.split(",")[0]
-    for port in (8082, 8092, 8102, 8112):
-        try:
-            with socket.create_connection((host, port), timeout=2):
-                return True
-        except OSError:
-            continue
-    return False
+    return stpu_config.device_relay_reachable()
 
 
 def main():

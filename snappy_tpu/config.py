@@ -24,6 +24,28 @@ import os
 _VALID = ("auto", "device", "host")
 
 
+def device_relay_reachable() -> bool:
+    """Pre-flight for tunneled-TPU environments: the chip is reached
+    through a local stdio relay (PALLAS_AXON_POOL_IPS) listening on
+    127.0.0.1:8082+; when the relay dies, EVERY jax call — even
+    ``jax.devices()`` — hangs forever.  Probe the socket (2 s) before
+    dispatching device work.  Returns True outside relay environments
+    (let jax decide)."""
+    import socket
+
+    ips = os.environ.get("PALLAS_AXON_POOL_IPS")
+    if not ips:
+        return True
+    host = ips.split(",")[0]
+    for port in (8082, 8092, 8102, 8112):
+        try:
+            with socket.create_connection((host, port), timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def ensure_compilation_cache() -> None:
     """Point JAX at a persistent compilation cache (opt out with
     SNAPPY_TPU_NO_COMPILE_CACHE=1).

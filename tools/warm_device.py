@@ -32,6 +32,10 @@ def sync(x):
 
 
 def main():
+    if not stpu_config.device_relay_reachable():
+        print("TPU relay not listening; nothing to warm (a dead relay "
+              "hangs every jax call)")
+        return
     t0 = time.time()
     names = corpus.available_corpus()
     data = corpus.read_data(names[0]) if names else b"warm" * 40000
