@@ -255,9 +255,12 @@ def uncompress_framed_into(
                 break
             # strict uint32 varint (snappy.nim:92 reads Leb128 uint32
             # FIRST): an overlong >5-byte inner length is invalid_input
-            # even when the chunk would not have fit the output budget
+            # even when the chunk would not have fit the output budget.
+            # Clamp the read to the chunk payload (snappy.nim:92 slices
+            # within the chunk) so a truncated varint in a short chunk
+            # never consumes the next chunk's header bytes.
             inner, _ir = varint.decode_uint32(
-                bytes(data[data_pos + 4 : data_pos + 4 + 5])
+                bytes(data[data_pos + 4 : data_pos + 4 + min(5, data_len - 4)])
             )
             if inner is None or inner > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
                 walk_err = FrameError.invalid_input

@@ -36,13 +36,15 @@ def device_relay_reachable() -> bool:
     ips = os.environ.get("PALLAS_AXON_POOL_IPS")
     if not ips:
         return True
-    host = ips.split(",")[0]
-    for port in (8082, 8092, 8102, 8112):
-        try:
-            with socket.create_connection((host, port), timeout=2):
-                return True
-        except OSError:
-            continue
+    # Probe every pool host (first responsive wins): a single dead relay
+    # must not mark the whole pool unreachable.
+    for host in filter(None, (h.strip() for h in ips.split(","))):
+        for port in (8082, 8092, 8102, 8112):
+            try:
+                with socket.create_connection((host, port), timeout=2):
+                    return True
+            except OSError:
+                continue
     return False
 
 

@@ -420,3 +420,21 @@ class TestErrorOrderParity:
         stream = bytes(C.FRAMING_HEADER) + chunk0
         res = s.uncompress_framed_into(stream, bytearray(10))  # budget 10 < 100
         assert res.is_err() and res.error == s.FrameError.invalid_input
+
+    def test_truncated_inner_varint_stays_within_chunk(self):
+        # A compressed chunk whose payload ends mid-varint (continuation
+        # bit set on the last payload byte).  The inner-length read must be
+        # clamped to the chunk (snappy.nim:92 slices within the chunk) so
+        # it never consumes the NEXT chunk's header bytes; regression: the
+        # walk read a fixed 5-byte window past the chunk end and returned
+        # Ok((read, 0)) with a small output budget (output-budget-dependent
+        # result + a resume-protocol hang).
+        crc = crc32c_native.masked_crc32c(b"")
+        chunk0 = self._frame(
+            C.CHUNK_COMPRESSED, crc.to_bytes(4, "little") + b"\x80"
+        )
+        chunk1 = self._uncompressed_chunk(b"next chunk payload")
+        stream = bytes(C.FRAMING_HEADER) + chunk0 + chunk1
+        for budget in (16, 1 << 16):
+            res = s.uncompress_framed_into(stream, bytearray(budget))
+            assert res.is_err() and res.error == s.FrameError.invalid_input

@@ -35,8 +35,17 @@ for f in html urls.10K fireworks.jpeg paper-100k.pdf alice29.txt \
   [ -f "$CORPUS/$f" ] && FILES+=("$CORPUS/$f")
 done
 if [ "${#FILES[@]}" -eq 0 ]; then
-  echo "corpus not found at $CORPUS; running on this script instead"
-  FILES=("$0")
+  # CI runners don't have the reference corpus: generate the deterministic
+  # synthetic one instead of silently degrading to fuzzing this script.
+  echo "corpus not found at $CORPUS; generating synthetic corpus"
+  python tools/gen_corpus.py "$BUILD/corpus"
+  for f in "$BUILD"/corpus/*; do
+    [ -f "$f" ] && FILES+=("$f")
+  done
+  if [ "${#FILES[@]}" -eq 0 ]; then
+    echo "FATAL: no corpus files available" >&2
+    exit 1
+  fi
 fi
 ASAN_OPTIONS="abort_on_error=1" UBSAN_OPTIONS="print_stacktrace=1:halt_on_error=1" \
   "$BUILD/sanitize_driver" "${FILES[@]}"
