@@ -35,6 +35,13 @@ from ..ops import crc32c_jax, decode_jax, encode_jax
 
 AXIS = "blocks"
 
+# Per-device kernel dispatch: on TPU the production scalar-core Pallas
+# kernels run inside each shard (each device decodes/encodes its chunk
+# shard sequentially on its scalar core — block-level data parallelism
+# across the mesh, chunk-level parallelism from the kernel grid within a
+# device); the XLA array kernels remain the non-TPU fallback, exactly as
+# in the single-device engine (engine._use_scalar_kernels).
+
 
 def default_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
@@ -108,6 +115,72 @@ def _sharded_decode_step(comp_u8, comp_lens, out_lens, u_pad: int, *, mesh):
     )(comp_u8, comp_lens, out_lens)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3), static_argnames=("mesh",))
+def _sharded_encode_scalar_step(blocks_u8, blens, nb_local: int, with_crc: bool, *, mesh):
+    """Scalar-kernel variant of _sharded_encode_step: each device packs its
+    block shard into the kernel word layout and runs the production
+    scalar-core encoder (ops/encode_scalar.py) on it."""
+    from ..ops import encode_scalar
+
+    def step(blk, bl):
+        blk_i32 = blk.astype(jnp.int32)
+        if with_crc:
+            crcs = crc32c_jax.masked_crc32c_chunks(blk_i32, bl, C.MAX_BLOCK_LEN)
+        else:
+            crcs = jnp.zeros((nb_local,), dtype=jnp.uint32)
+        b = blk_i32.reshape(nb_local, -1, 4)
+        words = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
+        words = jnp.pad(words, ((0, 0), (0, 4))).reshape(nb_local, 1, -1)
+        meta = bl.astype(jnp.int32).reshape(nb_local, 1, 1)
+        enc_w, elen = encode_scalar.encode_blocks_words(meta, words, nb_local)
+        totals = elen[:, 0, 0]
+        all_totals = jax.lax.all_gather(totals, AXIS, tiled=True)
+        offsets = jnp.cumsum(all_totals) - all_totals
+        return enc_w, all_totals, crcs, offsets
+
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None, None), P(), P(AXIS), P()),
+        check_vma=False,
+    )(blocks_u8, blens)
+
+
+@functools.partial(jax.jit, static_argnums=(2,), static_argnames=("mesh",))
+def _sharded_decode_scalar_step(meta, comp_words, nb_local: int, *, mesh):
+    """Scalar-kernel variant of _sharded_decode_step: per-device scalar-core
+    chunk decode (ops/decode_scalar.py) + VPU masked CRC of the outputs.
+
+    meta: int32 [nb, 1, 2]; comp_words: int32 [nb, CW_PAD] (row-major view
+    of the kernel's flat layout, reshaped per shard)."""
+    from ..ops import decode_scalar
+
+    def step(m, cw):
+        out_words, status = decode_scalar.decode_chunks_words(
+            m, cw.reshape(-1), nb_local
+        )
+        w = out_words[:, 0, : decode_scalar.OUT_WORDS]
+        byts = jnp.stack(
+            [w & 255, (w >> 8) & 255, (w >> 16) & 255, (w >> 24) & 255], axis=-1
+        ).reshape(nb_local, -1)
+        out_lens = m[:, 0, 1]
+        # The copy engine spills garbage past the written length; zero for CRC.
+        j = jax.lax.broadcasted_iota(jnp.int32, byts.shape, 1)
+        byts = jnp.where(j < out_lens[:, None], byts, 0)
+        crcs = crc32c_jax.masked_crc32c_chunks(byts, out_lens, C.MAX_BLOCK_LEN)
+        all_ok = jax.lax.all_gather(status[:, 0, 0], AXIS, tiled=True)
+        return out_words, all_ok, status[:, 0, 1], crcs
+
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None, None), P(), P(AXIS), P(AXIS)),
+        check_vma=False,
+    )(meta, comp_words)
+
+
 # ---------------------------------------------------------------------------
 # Host-level sharded APIs
 # ---------------------------------------------------------------------------
@@ -128,6 +201,25 @@ def _shard_arrays(mesh: Mesh, blocks: np.ndarray, blens: np.ndarray):
     return jax.device_put(blocks, sh2), jax.device_put(blens, sh1)
 
 
+def _sharded_encode(mesh: Mesh, blocks, blens, with_crc: bool):
+    """Run the sharded encode step with the production per-device kernel
+    (scalar-core on TPU, XLA fallback elsewhere — VERDICT r2 #4).
+
+    Returns (enc_bytes_2d [nb, :], totals [nb], crcs [nb])."""
+    dblocks, dblens = _shard_arrays(mesh, blocks, blens)
+    if engine._use_scalar_kernels():
+        nb_local = dblocks.shape[0] // mesh.devices.size
+        enc_w, totals, crcs, _offsets = _sharded_encode_scalar_step(
+            dblocks, dblens, nb_local, with_crc, mesh=mesh
+        )
+        enc_b = np.ascontiguousarray(np.asarray(enc_w)).view(np.uint8)[:, 0, :]
+        return enc_b, np.asarray(totals), np.asarray(crcs)
+    enc, totals, crcs, _offsets = _sharded_encode_step(
+        dblocks, dblens, engine._MAX_COMP_BLOCK, with_crc, mesh=mesh
+    )
+    return np.asarray(enc), np.asarray(totals), np.asarray(crcs)
+
+
 def sharded_raw_compress(data: bytes, mesh: Optional[Mesh] = None) -> bytes:
     """Raw-format compress with blocks distributed over the mesh
     (semantically identical to the single-device path)."""
@@ -138,12 +230,7 @@ def sharded_raw_compress(data: bytes, mesh: Optional[Mesh] = None) -> bytes:
     arr = np.frombuffer(data, dtype=np.uint8)
     blocks, blens = engine._split_blocks(arr)
     nb = blocks.shape[0]
-    dblocks, dblens = _shard_arrays(mesh, blocks, blens)
-    enc, totals, _crcs, _offsets = _sharded_encode_step(
-        dblocks, dblens, engine._MAX_COMP_BLOCK, False, mesh=mesh
-    )
-    enc = np.asarray(enc)
-    totals = np.asarray(totals)
+    enc, totals, _crcs = _sharded_encode(mesh, blocks, blens, False)
     parts = [varint.encode_uint32(n)]
     for k in range(nb):
         parts.append(enc[k, : totals[k]].tobytes())
@@ -160,13 +247,7 @@ def sharded_framed_compress(data: bytes, mesh: Optional[Mesh] = None) -> bytes:
     arr = np.frombuffer(data, dtype=np.uint8)
     frames, flens = engine._split_blocks(arr)
     nf = frames.shape[0]
-    dframes, dflens = _shard_arrays(mesh, frames, flens)
-    enc, totals, crcs, _offsets = _sharded_encode_step(
-        dframes, dflens, engine._MAX_COMP_BLOCK, True, mesh=mesh
-    )
-    enc = np.asarray(enc)
-    totals = np.asarray(totals)
-    crcs = np.asarray(crcs)
+    enc, totals, crcs = _sharded_encode(mesh, frames, flens, True)
     for k in range(nf):
         flen = int(flens[k])
         crc_bytes = int(crcs[k]).to_bytes(4, "little")
@@ -220,6 +301,36 @@ def sharded_framed_uncompress(
 
     if jobs:
         n_dev = mesh.devices.size
+        from ..ops import decode_scalar
+
+        if engine._use_scalar_kernels() and all(
+            len(j[1]) <= 4 * decode_scalar.C_WORDS for j in jobs
+        ):
+            # Production path: per-device scalar-core chunk decode.
+            n_pad = _pad_batch(len(jobs), n_dev)
+            bodies = [bytes(j[1]) for j in jobs] + [b""] * (n_pad - len(jobs))
+            decls = [j[2] for j in jobs] + [0] * (n_pad - len(jobs))
+            meta, comp_flat = decode_scalar.pack_chunks(bodies, decls)
+            comp2d = comp_flat.reshape(n_pad, decode_scalar.CW_PAD)
+            sh_m = NamedSharding(mesh, P(AXIS, None, None))
+            sh_c = NamedSharding(mesh, P(AXIS, None))
+            out_w, ok, _written, crcs = _sharded_decode_scalar_step(
+                jax.device_put(meta, sh_m),
+                jax.device_put(comp2d, sh_c),
+                n_pad // n_dev,
+                mesh=mesh,
+            )
+            out_b = np.ascontiguousarray(np.asarray(out_w)).view(np.uint8)
+            ok = np.asarray(ok)
+            crcs = np.asarray(crcs)
+            for k, (ci, _, declared, stored) in enumerate(jobs):
+                if not ok[k]:
+                    return None, "invalid"
+                if check_integrity and int(crcs[k]) != stored:
+                    return None, "crc"
+                outputs[ci] = out_b[k, 0, :declared].tobytes()
+            return b"".join(o if o is not None else b"" for o in outputs), "ok"
+
         max_body = max(len(j[1]) for j in jobs)
         c_pad = engine._bucket(max_body, lo=1024)
         n_pad = _pad_batch(len(jobs), n_dev)
