@@ -147,6 +147,31 @@ def bench_host(datasets):
             f"(ours {total_b/ours_best/1e9:.3f} GB/s, "
             f"{cpp_best/ours_best:.2f}x of C++)"
         )
+        # Decode control (interleaved best-of, same corpus): every
+        # below-baseline host decode number gets the same proportionality
+        # defense as encode.
+        encs = [(host_codec.raw_compress(d), len(d)) for _, d in items]
+        dec_ours_best = dec_cpp_best = None
+        for _ in range(7):
+            t0 = time.perf_counter()
+            for e, n in encs:
+                host_codec.raw_uncompress(e, n)
+            dt = time.perf_counter() - t0
+            dec_ours_best = (
+                dt if dec_ours_best is None or dt < dec_ours_best else dec_ours_best
+            )
+            t0 = time.perf_counter()
+            for e, _ in encs:
+                cpp_snappy.decode(e)
+            dt = time.perf_counter() - t0
+            dec_cpp_best = (
+                dt if dec_cpp_best is None or dt < dec_cpp_best else dec_cpp_best
+            )
+        log(
+            f"same-machine C++ google/snappy decode: {total_b/dec_cpp_best/1e9:.3f} GB/s "
+            f"(ours {total_b/dec_ours_best/1e9:.3f} GB/s, "
+            f"{dec_cpp_best/dec_ours_best:.2f}x of C++)"
+        )
 
     # Large-payload steady state: chunk-parallel framed pipeline; encode
     # into a reused caller buffer (like the reference's benchmark).
@@ -181,6 +206,15 @@ def bench_host(datasets):
         f"raw    {len(big)/1e6:.0f}MB: encode {len(big)/te/1e9:.3f} GB/s "
         f"(threaded), decode {len(big)/td/1e9:.3f} GB/s (single-stream)"
     )
+    if cpp_snappy.available():
+        # Same-machine A/B on the big single raw stream (the reference's
+        # 38 MB ssz line, README.md:123, is its strongest decode number).
+        td_cpp = mean_time(lambda: cpp_snappy.decode(renc), samples=5)
+        log(
+            f"raw    {len(big)/1e6:.0f}MB single-stream C++ decode: "
+            f"{len(big)/td_cpp/1e9:.3f} GB/s (ours {len(big)/td/1e9:.3f}, "
+            f"{td_cpp/td:.2f}x of C++)"
+        )
     return framed_enc_gbps, framed_dec_gbps
 
 
