@@ -124,8 +124,11 @@ def uncompress_into(data: bytes, out: Union[bytearray, memoryview]) -> Result[in
 
         out_arr = np.frombuffer(out, dtype=np.uint8)
         if out_arr.flags.writeable:
-            data_b = bytes(data)
-            ok = host_codec.decode_tags_into(data_b[_read:], declared, out_arr)
+            # zero-copy view of the tag stream (a bytes() + slice would
+            # copy the whole compressed payload twice per call)
+            ok = host_codec.decode_raw_body_into(
+                memoryview(data)[_read:], declared, out_arr
+            )
             if not ok:
                 return Err(CodecError.invalid_input)
             return Ok(declared)

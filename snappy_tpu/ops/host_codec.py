@@ -154,6 +154,54 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_int,
         ]
+        lib.stpu_raw_scan_blocks.restype = ctypes.c_long
+        lib.stpu_raw_scan_blocks.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_void_p,  # in_offs i64
+            ctypes.c_long,
+        ]
+        lib.stpu_scan_span_index.restype = None
+        lib.stpu_scan_span_index.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,  # pos u32
+            ctypes.c_void_p,  # cum u32
+            ctypes.c_long,
+            ctypes.c_void_p,  # n_rec long
+            ctypes.c_void_p,  # exit_pos i64
+            ctypes.c_void_p,  # exit_cum i64
+            ctypes.c_void_p,  # err int
+        ]
+        lib.stpu_raw_scan_stitch.restype = ctypes.c_long
+        lib.stpu_raw_scan_stitch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_long,
+            ctypes.c_void_p,  # span_lo i64
+            ctypes.c_void_p,  # pos u32
+            ctypes.c_void_p,  # cum u32
+            ctypes.c_void_p,  # rec_off i64
+            ctypes.c_void_p,  # n_rec i64
+            ctypes.c_void_p,  # exit_pos i64
+            ctypes.c_void_p,  # exit_cum i64
+            ctypes.c_void_p,  # errs i32
+            ctypes.c_void_p,  # in_offs i64
+            ctypes.c_long,
+        ]
+        lib.stpu_decode_raw_segments.restype = ctypes.c_int
+        lib.stpu_decode_raw_segments.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,  # in_offs i64
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_void_p,  # out
+            ctypes.c_size_t,
+        ]
         return lib
     except Exception:
         _build_failed = True
@@ -260,16 +308,124 @@ def decode_tags_into(body: bytes, out_len: int, out_arr: np.ndarray) -> bool:
     return rc == 0 and written.value == out_len
 
 
+# Parallel raw decode pays only when the boundary scan itself runs
+# parallel (the sequential scan is ~70% of a decode, capping split-phase
+# speedup below 1x once pool overhead is added — measured crossover sweep
+# in ROUND_NOTES r3).  Both thresholds are on the compressed body size.
+_PAR_SCAN_MIN = 4 << 20  # parallel (speculative) scan pays above ~4 MB body
+_PAR_DECODE_MIN = _PAR_SCAN_MIN
+_SCAN_SPAN_MAX = 32 << 20  # keep speculative per-span output sums in uint32
+
+
+def _scan_blocks(src: np.ndarray, declared: int, in_offs: np.ndarray,
+                 cap: int, n_workers: int) -> int:
+    """Locate 64 KiB output-block boundaries of a raw tag stream (parallel
+    speculative scan for large bodies, one sequential pass otherwise).
+    Returns the segment count, or <0 (see stpu_raw_scan_blocks)."""
+    lib = get_lib()
+    n = int(src.size)
+    if n < _PAR_SCAN_MIN or n_workers < 2:
+        return lib.stpu_raw_scan_blocks(
+            src.ctypes.data, n, declared, in_offs.ctypes.data, cap
+        )
+    nspans = max(n_workers, -(-n // _SCAN_SPAN_MAX))
+    span_lo = np.array([n * k // nspans for k in range(nspans + 1)], np.int64)
+    # Strided index capacity is a hard bound: ops are >= 2 input bytes and
+    # every SCAN_STRIDE-th op is recorded (stride 8 in the C).
+    caps = [(int(span_lo[k + 1] - span_lo[k]) // 16) + 2 for k in range(nspans)]
+    rec_off = np.zeros((nspans + 1,), np.int64)
+    np.cumsum(caps, out=rec_off[1:])
+    pos = np.empty((int(rec_off[-1]),), np.uint32)
+    cum = np.empty((int(rec_off[-1]),), np.uint32)
+    n_rec = np.zeros((nspans,), np.int64)
+    exit_pos = np.zeros((nspans,), np.int64)
+    exit_cum = np.zeros((nspans,), np.int64)
+    errs = np.zeros((nspans,), np.int32)
+
+    def index_span(k: int) -> None:
+        lib.stpu_scan_span_index(
+            src.ctypes.data,
+            n,
+            int(span_lo[k]),
+            int(span_lo[k + 1]),
+            pos.ctypes.data + 4 * int(rec_off[k]),
+            cum.ctypes.data + 4 * int(rec_off[k]),
+            caps[k],
+            n_rec.ctypes.data + 8 * k,
+            exit_pos.ctypes.data + 8 * k,
+            exit_cum.ctypes.data + 8 * k,
+            errs.ctypes.data + 4 * k,
+        )
+
+    list(_get_pool().map(index_span, range(nspans)))
+    return lib.stpu_raw_scan_stitch(
+        src.ctypes.data,
+        n,
+        declared,
+        nspans,
+        span_lo.ctypes.data,
+        pos.ctypes.data,
+        cum.ctypes.data,
+        rec_off.ctypes.data,
+        n_rec.ctypes.data,
+        exit_pos.ctypes.data,
+        exit_cum.ctypes.data,
+        errs.ctypes.data,
+        in_offs.ctypes.data,
+        cap,
+    )
+
+
+def decode_raw_body_into(body: bytes, declared: int, out_arr: np.ndarray) -> bool:
+    """Decode one raw tag stream into ``out_arr`` (block-parallel when the
+    stream proves block-parallel-safe, else sequential).
+
+    Returns True iff the stream is valid and produced exactly ``declared``
+    bytes.  The parallel path is an optimization only: any scan or segment
+    failure falls back to the sequential decoder, which is authoritative
+    for both bytes and error verdicts.
+    """
+    lib = get_lib()
+    assert lib is not None and out_arr.dtype == np.uint8
+    src = np.frombuffer(body, dtype=np.uint8)
+    n_workers = min(32, os.cpu_count() or 1)
+    if src.size >= _PAR_DECODE_MIN and n_workers > 1:
+        cap = declared // C.MAX_BLOCK_LEN + 2
+        in_offs = np.empty((cap,), dtype=np.int64)
+        nseg = _scan_blocks(src, declared, in_offs, cap, n_workers)
+        if nseg >= 2:
+            out_ptr = out_arr.ctypes.data
+            offs_ptr = in_offs.ctypes.data
+            slab = max(1, (nseg + n_workers * 4 - 1) // (n_workers * 4))
+
+            def work(lo: int) -> int:
+                return lib.stpu_decode_raw_segments(
+                    src.ctypes.data,
+                    offs_ptr,
+                    lo,
+                    min(nseg, lo + slab),
+                    out_ptr,
+                    declared,
+                )
+
+            rcs = list(_get_pool().map(work, range(0, nseg, slab)))
+            if all(rc == 0 for rc in rcs):
+                return True
+            # A segment failed (e.g. a copy legally reaching across a
+            # 64 KiB boundary, which no block encoder emits but the format
+            # allows): the sequential pass below is authoritative.
+    return decode_tags_into(body, declared, out_arr)
+
+
 def raw_uncompress(data: bytes, max_size: int) -> Tuple[Optional[bytes], str]:
     """Raw-format uncompress on the host (validation parity with the device
-    path; single-threaded).
+    path).
 
-    Deliberately sequential: a measured block-parallel variant (scan for
-    64 KiB output-block boundaries, then decode blocks concurrently) lost
-    on real hardware because LZ decode is parse-bound — the boundary scan
-    alone costs ~88% of a full sequential decode, capping the parallel
-    speedup at ~1.15x before thread overhead.  Chunk-parallel decoding is
-    what the framed format is for.
+    Large streams decode block-parallel: a branchless boundary scan proves
+    the stream's 64 KiB output blocks are independently decodable (true for
+    every block-based encoder: ours, the reference, google/snappy), then
+    the blocks fan out over host cores.  Anything the scan can't prove
+    falls back to the sequential decoder.
     """
     lib = get_lib()
     if lib is None:
@@ -287,10 +443,10 @@ def raw_uncompress(data: bytes, max_size: int) -> Tuple[Optional[bytes], str]:
     body_b = data[read:]
     if declared == 0:
         return (b"", "ok") if len(body_b) == 0 else (None, "invalid")
-    out, written = decode_tags(body_b, int(declared))
-    if out is None or written != declared:
+    out = np.empty((int(declared),), dtype=np.uint8)
+    if not decode_raw_body_into(body_b, int(declared), out):
         return None, "invalid"
-    return out, "ok"
+    return out.tobytes(), "ok"
 
 
 def framed_compress(

@@ -34,6 +34,21 @@ int stpu_decode_framed_slab(const uint8_t* stream, const uint8_t* kinds,
                             const int64_t* declared, const int64_t* out_off,
                             const uint32_t* stored_crc, int n, uint8_t* out,
                             int check_crc);
+long stpu_raw_scan_blocks(const uint8_t* in, size_t n, size_t out_len,
+                          int64_t* in_offs, long cap);
+void stpu_scan_span_index(const uint8_t* in, size_t n, int64_t s_lo,
+                          int64_t s_hi, uint32_t* pos, uint32_t* cum, long cap,
+                          long* n_rec, int64_t* exit_pos, int64_t* exit_cum,
+                          int* err);
+long stpu_raw_scan_stitch(const uint8_t* in, size_t n, size_t out_len,
+                          long nspans, const int64_t* span_lo,
+                          const uint32_t* pos, const uint32_t* cum,
+                          const int64_t* rec_off, const int64_t* n_rec,
+                          const int64_t* exit_pos, const int64_t* exit_cum,
+                          const int* errs, int64_t* in_offs, long cap);
+int stpu_decode_raw_segments(const uint8_t* in, const int64_t* in_offs,
+                             long seg_lo, long seg_hi, uint8_t* out,
+                             size_t out_len);
 uint32_t snappy_tpu_masked_crc32c(const uint8_t* buf, size_t len);
 
 #define MAX_BLOCK 65536u
@@ -211,6 +226,56 @@ int main(int argc, char** argv) {
       }
     }
 
+    /* 2b. block-parallel raw decode machinery: the boundary scan, the
+     * speculative span index + stitch (equivalence vs the sequential
+     * scan), and the segment decoder, all on the clean stream. */
+    long seg_cap = (long)(n / MAX_BLOCK) + 2;
+    int64_t* offs_a = malloc(sizeof(int64_t) * (size_t)seg_cap);
+    int64_t* offs_b = malloc(sizeof(int64_t) * (size_t)seg_cap);
+    {
+      long nseg = stpu_raw_scan_blocks(enc, enc_len_l1, n, offs_a, seg_cap);
+      if (nseg >= 1) {
+        memset(dec, 0, n ? n : 1);
+        if (stpu_decode_raw_segments(enc, offs_a, 0, nseg, dec, n) != 0 ||
+            (n && memcmp(dec, data, n) != 0)) {
+          fprintf(stderr, "segment decode FAILED %s\n", argv[a]);
+          return 1;
+        }
+      }
+      /* speculative index over 3 uneven spans, stitched */
+      long nspans = 3;
+      int64_t span_lo[4] = {0, (int64_t)(enc_len_l1 / 3),
+                            (int64_t)(2 * enc_len_l1 / 3 + 1),
+                            (int64_t)enc_len_l1};
+      if (span_lo[1] == 0 || span_lo[2] <= span_lo[1]) nspans = 1,
+                                                       span_lo[1] = (int64_t)enc_len_l1;
+      long rec_cap = (long)(enc_len_l1 / 16) + 8;
+      uint32_t* pos = malloc(sizeof(uint32_t) * (size_t)rec_cap * 3);
+      uint32_t* cum = malloc(sizeof(uint32_t) * (size_t)rec_cap * 3);
+      int64_t rec_off[4] = {0, rec_cap, 2 * rec_cap, 3 * rec_cap};
+      int64_t n_rec[3], exit_pos[3], exit_cum[3];
+      int errs[3];
+      for (long k = 0; k < nspans; k++) {
+        long nr = 0;
+        stpu_scan_span_index(enc, enc_len_l1, span_lo[k], span_lo[k + 1],
+                             pos + rec_off[k], cum + rec_off[k], rec_cap, &nr,
+                             &exit_pos[k], &exit_cum[k], &errs[k]);
+        n_rec[k] = nr;
+      }
+      long nseg2 = stpu_raw_scan_stitch(enc, enc_len_l1, n, nspans, span_lo,
+                                        pos, cum, rec_off, n_rec, exit_pos,
+                                        exit_cum, errs, offs_b, seg_cap);
+      if (nseg2 != nseg ||
+          (nseg >= 0 &&
+           memcmp(offs_a, offs_b, sizeof(int64_t) * (size_t)(nseg + 1)) != 0)) {
+        fprintf(stderr, "stitched scan != sequential scan %s (%ld vs %ld)\n",
+                argv[a], nseg2, nseg);
+        return 1;
+      }
+      free(pos);
+      free(cum);
+    }
+
     /* 3. mutation fuzz: decode corrupted streams; ASan/UBSan watch for
      * out-of-bounds.  The output buffer is sized exactly `n` so any
      * overrun is caught. */
@@ -222,6 +287,9 @@ int main(int argc, char** argv) {
       mutate(mut, &mn);
       size_t written = 0;
       (void)stpu_decode_tags(mut, mn, dec, n, &written);
+      /* block-parallel path on the corrupted stream: scan + segments */
+      long mseg = stpu_raw_scan_blocks(mut, mn, n, offs_a, seg_cap);
+      if (mseg >= 1) (void)stpu_decode_raw_segments(mut, offs_a, 0, mseg, dec, n);
       /* framed: re-walk (headers may be corrupt) then slab-decode */
       size_t fmn = fn < enc_cap ? fn : enc_cap;
       memcpy(mut, framed, fmn);
@@ -234,6 +302,8 @@ int main(int argc, char** argv) {
       }
     }
     free(mut);
+    free(offs_a);
+    free(offs_b);
     free(kinds);
     free(so);
     free(sl);

@@ -549,4 +549,321 @@ int stpu_decode_framed_slab(const uint8_t* stream, const uint8_t* kinds,
   return 0;
 }
 
+/* ---------------- block-parallel raw decode ---------------- */
+
+/* Branchless tag-metrics LUT for the boundary scan: for tag byte b,
+ * pack header length (bits 0-2), literal flag (bit 3) and op output
+ * length (bits 4-10).  0 marks the length-extended literals (tag codes
+ * 60-63), which take the slow path.  An earlier boundary scan that
+ * mirrored the decoder's branchy parse (incl. copy-offset extraction)
+ * measured ~88% of a full decode, killing the parallel variant; this
+ * one needs no offsets (the per-segment decoder re-validates copy reach
+ * against its own segment start) and its only data-dependent branch is
+ * the rare extended literal — ~5x cheaper per op. */
+static uint16_t scan_lut[256];
+static int scan_lut_ready = 0;
+
+static void scan_lut_init(void) {
+  for (int b = 0; b < 256; b++) {
+    uint32_t t = b & 3;
+    uint32_t hdr, len, islit = 0;
+    if (t == 0) {
+      uint32_t lc = (uint32_t)b >> 2;
+      if (lc >= 60) { scan_lut[b] = 0; continue; }
+      hdr = 1; len = lc + 1; islit = 1;
+    } else if (t == 1) {
+      hdr = 2; len = 4 + (((uint32_t)b >> 2) & 7);
+    } else if (t == 2) {
+      hdr = 3; len = 1 + ((uint32_t)b >> 2);
+    } else {
+      hdr = 5; len = 1 + ((uint32_t)b >> 2);
+    }
+    scan_lut[b] = (uint16_t)(hdr | (islit << 3) | (len << 4));
+  }
+  scan_lut_ready = 1;
+}
+
+/* One op step of the metrics-only parse: advances *i past the op at *i
+ * and adds its output length to *o.  Returns 1 on success, 0 when the op
+ * is malformed or runs past n.  Fully branchless for the common tags:
+ * the literal/copy mix is branch-predictor-hostile (it alternates data-
+ * dependently), so the advance folds the literal payload in with a mask
+ * instead of a conditional. */
+static inline int scan_op(const uint8_t* in, size_t n, size_t* i, size_t* o) {
+  uint32_t e = scan_lut[in[*i]];
+  if (LIKELY(e)) {
+    size_t hdr = e & 7;
+    size_t len = e >> 4;
+    size_t adv = hdr + ((size_t)0 - ((e >> 3) & 1) & len);
+    if (UNLIKELY(adv > n - *i)) return 0;
+    *i += adv;
+    *o += len;
+    return 1;
+  }
+  /* length-extended literal (1-4 extra LE length bytes) */
+  {
+    uint32_t lc = (uint32_t)in[*i] >> 2;
+    uint32_t extra = lc - 59;
+    if (UNLIKELY(extra > n - *i - 1)) return 0;
+    uint32_t v = 0;
+    for (uint32_t k = 0; k < extra; k++)
+      v |= (uint32_t)in[*i + 1 + k] << (8 * k);
+    if (UNLIKELY(v >= 0xFFFFFFFFu)) return 0;
+    size_t len = (size_t)v + 1;
+    *i += 1 + extra;
+    if (UNLIKELY(len > n - *i)) return 0;
+    *i += len;
+    *o += len;
+    return 1;
+  }
+}
+
+/* Sequential boundary scan over the true op chain from *io_i while
+ * *io_i < limit: emits the input offset of each 64 KiB output boundary
+ * landing on an op start.  Resumable: cursors and the boundary target
+ * live in the caller.  Returns the updated segment count, or -1
+ * (malformed / output overrun) or -2 (an op straddles a boundary, or
+ * too many segments) — same verdicts as the full scan. */
+static long scan_range(const uint8_t* in, size_t n, size_t limit,
+                       size_t out_len, size_t* io_i, size_t* io_o,
+                       size_t* io_next_target, int64_t* in_offs, long seg,
+                       long cap) {
+  size_t i = *io_i, o = *io_o, next_target = *io_next_target;
+  while (i < limit) {
+    if (UNLIKELY(o >= next_target)) {
+      if (o != next_target || seg >= cap) return -2;
+      in_offs[seg++] = (int64_t)i;
+      next_target += 65536;
+      if (next_target > out_len) next_target = out_len + 1; /* no more cuts */
+    }
+    if (UNLIKELY(!scan_op(in, n, &i, &o))) return -1;
+    if (UNLIKELY(o > out_len)) return -1;
+  }
+  *io_i = i;
+  *io_o = o;
+  *io_next_target = next_target;
+  return seg;
+}
+
+/* Scan a raw tag stream without moving data, locating the input offset
+ * where each 64 KiB *output* block begins.  Block-based encoders (ours,
+ * the reference, google/snappy) never let a tag or a copy source cross a
+ * 64 KiB output boundary, which makes those blocks independently
+ * decodable; the scan proves the tag-alignment half for this particular
+ * stream, and the per-segment decoders prove the copy-reach half (a
+ * copy reaching before its segment fails their offset>written check).
+ *
+ * Returns the number of segments found (in_offs[k] = input offset of
+ * output byte k*65536, plus a final entry in_offs[nseg] = n), or -1 when
+ * the stream is malformed / totals mismatch, or -2 when it is valid-
+ * looking but not block-parallel (an op straddles a boundary) — callers
+ * fall back to the sequential decoder, which is authoritative. */
+long stpu_raw_scan_blocks(const uint8_t* in, size_t n, size_t out_len,
+                          int64_t* in_offs, long cap) {
+  if (!scan_lut_ready) scan_lut_init();
+  size_t i = 0, o = 0, next_target = 0;
+  long seg = scan_range(in, n, n, out_len, &i, &o, &next_target, in_offs, 0,
+                        cap);
+  if (seg < 0) return seg;
+  if (i != n || o != out_len) return -1;
+  if (seg >= cap) return -2;
+  in_offs[seg] = (int64_t)n;
+  return seg;
+}
+
+/* ---- parallel boundary scan (speculative strided op index) ----
+ *
+ * The sequential scan's per-op cost is a serial load->LUT->advance
+ * dependency chain (~6 ns/op floor), so for large streams the scan is
+ * parallelized the classic speculative way: split the compressed body
+ * into spans, parse each span speculatively from its first byte (usually
+ * mid-op), and stitch.  The op successor function p -> p + oplen(p) is
+ * deterministic, so the true chain and a speculative chain merge forever
+ * at their first common position — which on real tag streams happens
+ * within a few ops.  A span whose speculation never merges (or that
+ * errored) is re-scanned sequentially from its true entry, so the worst
+ * case degrades to the sequential scan, never to a wrong answer.
+ *
+ * Phase 1 records every STRIDE-th visited op as (pos, cum-output) pairs;
+ * the stitch binary-searches those and re-walks at most STRIDE ops to
+ * land exactly, keeping the index 16x smaller than an every-op index. */
+#define SCAN_STRIDE 8
+
+/* Phase 1: speculative strided op index of one span [s_lo, s_hi).
+ * pos[]/cum[] receive up to cap records (op input offset relative to
+ * s_lo, speculative output bytes before that op).  On return: *n_rec
+ * records written, *exit_pos = first op position >= s_hi (absolute; the
+ * op at it was NOT consumed), *exit_cum = speculative output at exit,
+ * *err = 1 when the parse hit a malformed op (exit_pos = that op). */
+void stpu_scan_span_index(const uint8_t* in, size_t n, int64_t s_lo,
+                          int64_t s_hi, uint32_t* pos, uint32_t* cum,
+                          long cap, long* n_rec, int64_t* exit_pos,
+                          int64_t* exit_cum, int* err) {
+  if (!scan_lut_ready) scan_lut_init();
+  size_t i = (size_t)s_lo, o = 0;
+  long rec = 0;
+  unsigned stride = 0;
+  *err = 0;
+  while (i < (size_t)s_hi) {
+    if (stride == 0 && rec < cap) {
+      pos[rec] = (uint32_t)(i - (size_t)s_lo);
+      cum[rec] = (uint32_t)o;
+      rec++;
+    }
+    stride = (stride + 1) % SCAN_STRIDE;
+    if (UNLIKELY(!scan_op(in, n, &i, &o))) {
+      *err = 1;
+      break;
+    }
+  }
+  *n_rec = rec;
+  *exit_pos = (int64_t)i;
+  *exit_cum = (int64_t)o;
+}
+
+/* Largest record index in [lo, hi) with key[idx] <= want, or -1. */
+static long rec_search(const uint32_t* key, long lo, long hi, uint32_t want) {
+  long ans = -1;
+  while (lo < hi) {
+    long mid = lo + (hi - lo) / 2;
+    if (key[mid] <= want) {
+      ans = mid;
+      lo = mid + 1;
+    } else {
+      hi = mid;
+    }
+  }
+  return ans;
+}
+
+/* Phase 2: stitch the per-span speculative indexes into the true chain
+ * and emit 64 KiB output-boundary input offsets.  Span k's records live
+ * at [rec_off[k], rec_off[k]+n_rec[k]) in the flat pos/cum arrays; spans
+ * are [span_lo[k], span_lo[k+1]).  A span whose speculation missed the
+ * true entry (or errored) is re-scanned sequentially.  Same return
+ * contract as stpu_raw_scan_blocks. */
+long stpu_raw_scan_stitch(const uint8_t* in, size_t n, size_t out_len,
+                          long nspans, const int64_t* span_lo,
+                          const uint32_t* pos, const uint32_t* cum,
+                          const int64_t* rec_off, const int64_t* n_rec,
+                          const int64_t* exit_pos, const int64_t* exit_cum,
+                          const int* errs, int64_t* in_offs, long cap) {
+  if (!scan_lut_ready) scan_lut_init();
+  size_t e = 0;      /* true input cursor (always at an op start) */
+  size_t out = 0;    /* true output produced before e */
+  size_t next_target = 0;
+  long seg = 0;
+  for (long k = 0; k < nspans; k++) {
+    size_t s_lo = (size_t)span_lo[k];
+    size_t s_hi = (size_t)span_lo[k + 1];
+    if (e >= s_hi) continue; /* an earlier op straddled this whole span */
+    long base = (long)rec_off[k];
+    int merged = 0;
+    size_t merge_cum = 0;
+    if (!errs[k] && n_rec[k] > 0) {
+      /* Two-pointer merge-find: the true chain enters the span at e; the
+       * speculative chain started at s_lo <= e with a different phase.
+       * Walk both forward (emitting boundaries on the true side) until
+       * they land on a common position — from there the speculative
+       * index IS the true chain.  Total work is ~2x the (short) prefix
+       * before the merge; if they never meet, the true walk has simply
+       * scanned the span sequentially, which is the fallback anyway. */
+      long idx =
+          rec_search(pos + base, 0, (long)n_rec[k], (uint32_t)(e - s_lo));
+      size_t si = s_lo + pos[base + (idx < 0 ? 0 : idx)];
+      size_t so = cum[base + (idx < 0 ? 0 : idx)];
+      while (e < s_hi) {
+        while (si < e) {
+          if (UNLIKELY(!scan_op(in, n, &si, &so))) {
+            si = (size_t)-1; /* spec chain dead: no merge possible */
+            break;
+          }
+        }
+        if (si == e) {
+          merged = 1;
+          merge_cum = so;
+          break;
+        }
+        if (UNLIKELY(out >= next_target)) {
+          if (out != next_target || seg >= cap) return -2;
+          in_offs[seg++] = (int64_t)e;
+          next_target += 65536;
+          if (next_target > out_len) next_target = out_len + 1;
+        }
+        if (UNLIKELY(!scan_op(in, n, &e, &out))) return -1;
+        if (UNLIKELY(out > out_len)) return -1;
+      }
+    }
+    if (merged) {
+      /* Fast-forward through the span via the index: emit every 64 KiB
+       * boundary whose output offset lands inside it. */
+      if (UNLIKELY((size_t)exit_cum[k] < merge_cum)) return -1;
+      size_t span_out = (size_t)exit_cum[k] - merge_cum;
+      if (UNLIKELY(span_out > out_len - out)) return -1;
+      size_t out_end = out + span_out;
+      while (next_target <= out_len && next_target < out_end) {
+        /* spec cum value at the boundary op */
+        uint32_t want = (uint32_t)(merge_cum + (next_target - out));
+        long j = rec_search(cum + base, 0, (long)n_rec[k], want);
+        if (j < 0) return -2;
+        /* walk from record j to the op whose pre-op cum == want */
+        size_t wi = s_lo + pos[base + j];
+        size_t wo = cum[base + j];
+        int hit = 0;
+        for (int t = 0; t <= SCAN_STRIDE; t++) {
+          if (wo == want && wi >= e) {
+            hit = 1;
+            break;
+          }
+          if (wo > want) break;
+          if (!scan_op(in, n, &wi, &wo)) break;
+        }
+        if (!hit) return -2; /* boundary inside an op: not block-parallel */
+        if (seg >= cap) return -2;
+        in_offs[seg++] = (int64_t)wi;
+        next_target += 65536;
+      }
+      /* a boundary exactly at the span exit is the next span's problem */
+      e = (size_t)exit_pos[k];
+      out = out_end;
+    } else if (e < s_hi) {
+      /* error-flagged span, empty index, or dead spec chain: finish the
+       * span with the authoritative sequential walk. */
+      seg = scan_range(in, n, s_hi, out_len, &e, &out, &next_target, in_offs,
+                       seg, cap);
+      if (seg < 0) return seg;
+    }
+  }
+  /* tail: e may sit exactly at n (or an op straddled past the last span) */
+  if (e < n) {
+    seg = scan_range(in, n, n, out_len, &e, &out, &next_target, in_offs, seg,
+                     cap);
+    if (seg < 0) return seg;
+  }
+  if (e != n || out != out_len) return -1;
+  /* a boundary landing exactly at the stream end is fine (out==target) */
+  if (seg >= cap) return -2;
+  in_offs[seg] = (int64_t)n;
+  return seg;
+}
+
+/* Decode a slab of pre-scanned segments (segment k: input
+ * [in_offs[k], in_offs[k+1]) -> output [k*65536, ...)).  Returns 0 on
+ * success, 1 when any segment is malformed or not self-contained (the
+ * caller falls back to the sequential decoder for the exact verdict). */
+int stpu_decode_raw_segments(const uint8_t* in, const int64_t* in_offs,
+                             long seg_lo, long seg_hi, uint8_t* out,
+                             size_t out_len) {
+  for (long k = seg_lo; k < seg_hi; k++) {
+    size_t o_lo = (size_t)k * 65536;
+    size_t o_hi = o_lo + 65536 < out_len ? o_lo + 65536 : out_len;
+    size_t written = 0;
+    if (stpu_decode_tags(in + in_offs[k], (size_t)(in_offs[k + 1] - in_offs[k]),
+                         out + o_lo, o_hi - o_lo, &written) != 0 ||
+        written != o_hi - o_lo)
+      return 1;
+  }
+  return 0;
+}
+
 int stpu_using_native(void) { return 1; }
