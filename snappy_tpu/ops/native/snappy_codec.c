@@ -258,65 +258,85 @@ size_t stpu_encode_span(const uint8_t* in, size_t n, uint8_t* out) {
 #define LIKELY(x) __builtin_expect(!!(x), 1)
 #define UNLIKELY(x) __builtin_expect(!!(x), 0)
 
+/* Fast-loop tag entry LUT — the same unified-parse idea as our scalar
+ * TPU kernel's v3 path (ops/scalar_emit.py): one entry gives trailer
+ * byte count, op length and the copy-1 offset base, and one masked
+ * unaligned 4-byte load serves the copy-1/2/4 offset alike, replacing
+ * the tag-type branch chain (2-3 data-dependent mispredicts per op on
+ * text) with a single literal-vs-copy branch.
+ * Packing: trailer_bytes(3b) | len(8b << 4) | offset_base(11b << 12);
+ * len == 0 marks the length-extended literals (slow path). */
+static uint32_t dec_lut[256];
+static uint32_t dec_wordmask[5] = {0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFFu};
+static int dec_lut_ready = 0;
+
+static void dec_lut_init(void) {
+  for (uint32_t c = 0; c < 256; c++) {
+    uint32_t t = c & 3, e;
+    if (t == 0) {
+      uint32_t lc = c >> 2;
+      e = lc < 60 ? (lc + 1) << 4 : (lc - 59); /* ext: len=0, tb=extra */
+    } else if (t == 1) {
+      e = 1 | ((4 + ((c >> 2) & 7)) << 4) | (((c & 0xE0) << 3) << 12);
+    } else if (t == 2) {
+      e = 2 | ((1 + (c >> 2)) << 4);
+    } else {
+      e = 4 | ((1 + (c >> 2)) << 4);
+    }
+    dec_lut[c] = e;
+  }
+  dec_lut_ready = 1;
+}
+
 int stpu_decode_tags(const uint8_t* in, size_t n, uint8_t* out, size_t out_len,
                      size_t* written) {
   size_t i = 0;
   size_t o = 0;
+  if (!dec_lut_ready) dec_lut_init();
 
-  /* Fast region: enough input slack to read tags+16B blindly and enough
-   * output slack that any single op (<=64B copy, <=16B literal burst plus
-   * a 16B blind stamp) stays in bounds without per-op checks. */
-  const size_t in_fast = n > 20 ? n - 20 : 0;
+  /* Fast region: enough input slack to read tags + a 64B literal burst
+   * blindly and enough output slack that any single op (<=64B copy or
+   * literal burst) stays in bounds without per-op checks. */
+  const size_t in_fast = n > 80 ? n - 80 : 0;
   const size_t out_fast = out_len > 96 ? out_len - 96 : 0;
 
   while (i < in_fast && o < out_fast) {
     uint32_t b = in[i];
-    uint32_t t = b & 3;
-    if (t == 0) {
-      uint32_t lc = b >> 2;
-      if (LIKELY(lc < 60)) {
-        size_t len = lc + 1;
+    uint32_t e = dec_lut[b];
+    uint32_t tb = e & 7;
+    uint32_t w;
+    memcpy(&w, in + i + 1, 4); /* blind trailer load (in_fast margin) */
+    uint32_t trailer = w & dec_wordmask[tb];
+    size_t len = (e >> 4) & 0xFF;
+    if ((b & 3) == 0) {
+      if (LIKELY(len)) {
         if (UNLIKELY(len > n - i - 1)) return -1;
-        memcpy(out + o, in + i + 1, 16); /* blind burst covers len <= 16 */
-        if (UNLIKELY(len > 16)) memcpy(out + o, in + i + 1, len);
+        /* blind constant-size bursts (inlined vector moves) cover every
+         * short-literal length: 16B for len <= 16, else 64B (len <= 60;
+         * in_fast leaves 80B of input slack, out_fast 96B of output) */
+        memcpy(out + o, in + i + 1, 16);
+        if (UNLIKELY(len > 16)) {
+          memcpy(out + o + 16, in + i + 17, 16);
+          memcpy(out + o + 32, in + i + 33, 32);
+        }
         i += 1 + len;
         o += len;
         continue;
       }
-      /* length-extended literal (1-4 extra LE length bytes, blind-readable
-       * inside the fast region); exact checks since len is unbounded */
-      {
-        uint32_t extra = lc - 59;
-        uint32_t v = 0;
-        for (uint32_t k = 0; k < extra; k++)
-          v |= (uint32_t)in[i + 1 + k] << (8 * k);
-        if (UNLIKELY(v >= 0xFFFFFFFFu)) return -1;
-        size_t len = (size_t)v + 1;
-        i += 1 + extra;
-        if (UNLIKELY(len > n - i)) return -1;
-        if (UNLIKELY(len > out_len - o)) return -1;
-        memcpy(out + o, in + i, len);
-        i += len;
-        o += len;
-        continue;
-      }
+      /* length-extended literal (trailer = 1-4 LE length bytes); exact
+       * checks since the length is unbounded */
+      if (UNLIKELY(trailer >= 0xFFFFFFFFu)) return -1;
+      len = (size_t)trailer + 1;
+      i += 1 + tb;
+      if (UNLIKELY(len > n - i)) return -1;
+      if (UNLIKELY(len > out_len - o)) return -1;
+      memcpy(out + o, in + i, len);
+      i += len;
+      o += len;
+      continue;
     }
-    uint32_t len, offset;
-    if (t == 1) {
-      len = 4 + ((b >> 2) & 7);
-      offset = ((b & 0xE0) << 3) | in[i + 1];
-      i += 2;
-    } else if (t == 2) {
-      len = 1 + (b >> 2);
-      offset = (uint32_t)in[i + 1] | ((uint32_t)in[i + 2] << 8);
-      i += 3;
-    } else {
-      len = 1 + (b >> 2);
-      uint32_t v;
-      memcpy(&v, in + i + 1, 4);
-      offset = v;
-      i += 5;
-    }
+    uint32_t offset = (e >> 12) + trailer;
+    i += 1 + tb;
     if (UNLIKELY(offset == 0 || (size_t)offset > o)) return -1;
     const uint8_t* src = out + o - offset;
     uint8_t* dst = out + o;
@@ -325,7 +345,12 @@ int stpu_decode_tags(const uint8_t* in, size_t n, uint8_t* out, size_t out_len,
       memcpy(dst, src, 8); /* blind 16B stamp covers len <= 16 */
       memcpy(dst + 8, src + 8, 8);
       if (UNLIKELY(len > 16)) {
-        if (LIKELY(offset >= len)) {
+        if (LIKELY(offset >= 32)) {
+          /* blind constant-size 64B copy (copies cap at len 64; chunk 2
+           * reads only bytes chunk 1 already committed when offset<64) */
+          memcpy(dst, src, 32);
+          memcpy(dst + 32, src + 32, 32);
+        } else if (offset >= len) {
           memcpy(dst, src, len);
         } else {
           size_t remaining = len, avail = offset;
