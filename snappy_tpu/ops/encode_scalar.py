@@ -207,15 +207,15 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
         pword_u(op, jax.lax.select(use1, tag1, tag2))
         return op + jax.lax.select(use1, 2, 3)
 
-    def hash32(u, mask):
-        return ((u * jnp.int32(_K_HASH)) >> 18) & mask
-
     def table_get_put(h, pos):
+        # An unwritten bucket must read as position 0, exactly like the
+        # reference's zeroed table (encoder.nim:237-238): a probe against
+        # a never-written bucket legitimately compares with (and can
+        # match) the block's first bytes.  The epoch tag only avoids
+        # re-zeroing between chunks; it must not change the semantics.
         e = table_ref[h]
         table_ref[h] = (epoch << 16) | pos
-        cand = e & 0xFFFF
-        valid = (e >> 16) == epoch
-        return cand, valid
+        return jax.lax.select((e >> 16) == epoch, e & 0xFFFF, jnp.int32(0))
 
     def match_len(c, s):
         """Length of the common prefix of input[c..] / input[s..] capped
@@ -271,14 +271,22 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
 
     # table mask per the reference's input-dependent sizing
     # (encoder.nim:27-34): smallest power of two in [256, 16384] >= n.
+    # The hash takes the TOP log2(tsize) bits of u*K (reference shift =
+    # 32 - log2(tsize)); the arithmetic >> plus mask extracts exactly
+    # those bits.
     def ts_body(st):
-        ts = st
-        return ts * 2
+        ts, sh = st
+        return ts * 2, sh - 1
 
-    tsize = jax.lax.while_loop(
-        lambda ts: (ts < TABLE_SIZE) & (ts < n), ts_body, jnp.int32(256)
+    tsize, shift = jax.lax.while_loop(
+        lambda st: (st[0] < TABLE_SIZE) & (st[0] < n),
+        ts_body,
+        (jnp.int32(256), jnp.int32(24)),
     )
     mask = tsize - 1
+
+    def hash32(u, mask):
+        return ((u * jnp.int32(_K_HASH)) >> shift) & mask
 
     ip_limit = n - INPUT_MARGIN
 
@@ -288,11 +296,16 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
     # (same two-tier insight as the grid decoder's fast/slow tag loop).
     def probe_body(s):
         ip, skip, cand, hit = s
+        bbh = skip >> 5
         u = load32(ip)
         h = hash32(u, mask)
-        c, valid = table_get_put(h, ip)
-        hit2 = valid & (load32(c) == u)
-        bbh = skip >> 5
+        c = table_get_put(h, ip)
+        # The reference checks ip+step BEFORE probing and bails to the
+        # remainder literal without probing (encoder.nim:311-331 / the
+        # oracle's next_s > s_limit return); suppressing the hit here is
+        # emission-equivalent — the stray table write is never read again
+        # (the block ends immediately).
+        hit2 = (load32(c) == u) & (ip + bbh <= ip_limit)
         ip2 = jax.lax.select(hit2, ip, ip + bbh)
         return ip2, skip + bbh, c, hit2
 
@@ -330,8 +343,8 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
                     table_ref[h1] = (epoch << 16) | (x - 1)
                     u = load32(x)
                     h = hash32(u, mask)
-                    c2, valid2 = table_get_put(h, x)
-                    return c2, valid2 & (load32(c2) == u)
+                    c2 = table_get_put(h, x)
+                    return c2, load32(c2) == u
 
                 c2, hit2 = jax.lax.cond(
                     over,

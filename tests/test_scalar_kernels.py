@@ -222,14 +222,36 @@ class TestScalarEncoder:
         for k, p in enumerate(PAYLOADS):
             dec, err = oracle.decode_all_tags(encs[k], len(p))
             assert err is None and bytes(dec) == p, k
-            ref_len = len(oracle.encode_block(p)) if p else 0
-            # density parity with the reference greedy (probe order differs
-            # slightly; allow a whisker)
-            assert len(encs[k]) <= max(ref_len + 2, int(ref_len * 1.02)), (
-                k,
-                len(encs[k]),
-                ref_len,
-            )
+            # BYTE-identical to the reference-mirror greedy oracle (the
+            # kernel replicates the zeroed-table position-0 candidate
+            # semantics, the probe-before-limit rule, and the top-bits
+            # hash shift exactly; round-3 fix)
+            ref = oracle.encode_block(p) if p else b""
+            assert encs[k] == ref, (k, len(encs[k]), len(ref))
+
+    def test_corpus_blocks_byte_identical_to_oracle(self, corpus_root):
+        """Every 64 KiB block of the benchmark corpus encodes to exactly
+        the oracle's bytes (stronger than the reference's own cross-
+        implementation contract, test_snappy.nim:50-53)."""
+        from snappy_tpu.testing import corpus as corpus_mod
+
+        names = ["html", "alice29.txt", "geo.protodata"]
+        blocks = []
+        for name in names:
+            d = corpus_mod.read_data(name)
+            if d is None:
+                continue
+            blocks += [d[i : i + 65536] for i in range(0, len(d), 65536)]
+        if not blocks:
+            pytest.skip("corpus missing")
+        meta, inw = encode_scalar.pack_blocks(blocks)
+        enc_w, elen = encode_scalar.encode_blocks_words(
+            meta, inw, len(blocks), interpret=True
+        )
+        elens = np.asarray(elen)[:, 0, 0]
+        encs = encode_scalar.unpack_enc(np.asarray(enc_w), elens)
+        for k, blk in enumerate(blocks):
+            assert encs[k] == oracle.encode_block(blk), (k, len(blk))
 
     def test_cpp_snappy_cross_decode(self):
         from snappy_tpu.testing import cpp_snappy
