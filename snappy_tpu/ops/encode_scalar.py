@@ -9,18 +9,23 @@ encoder runs the reference algorithm (encoder.nim:184-383 semantics,
 re-derived from the algorithm spec — greedy matching with the 1/32 skip
 heuristic) per chunk on the scalar core, grid-batched over chunks.
 
-Differences from the reference implementation (allowed: the reference's own
-tests accept different bytes across implementations, test_snappy.nim:50-53):
+Output bytes are IDENTICAL to the reference greedy algorithm (verified
+block-by-block against the oracle on the full benchmark corpus, and equal
+to the host C encoder at level 1) — stronger than the reference's own
+cross-implementation contract (test_snappy.nim:50-53 only requires
+cross-decodability).  Achieving that required three exact-parity details:
 
-* no 4x4 unrolled probe block — probe order therefore differs slightly, so
-  output bytes differ while remaining spec-valid and within ~1% of the
-  reference's density;
-* the hash table is epoch-tagged int32 SMEM instead of zeroed uint16 stack
-  memory: entry = (chunk_epoch << 16) | position, so per-chunk zeroing
-  (16 K stores) happens once per *call*, not once per chunk.
-
-The emitted stream satisfies: decodable by every decoder in this repo and
-by google/snappy; compressed size ~= the reference greedy oracle.
+* unwritten hash-table buckets read as position 0 (the reference's zeroed
+  table makes position 0 a legal candidate, encoder.nim:237-238) — the
+  table is epoch-tagged int32 SMEM (entry = (chunk_epoch << 16) | pos) so
+  per-chunk zeroing happens once per *call*, but the epoch tag must not
+  change lookup semantics;
+* the probe loop checks ip+step against the limit BEFORE probing
+  (encoder.nim:311-331) — the kernel suppresses the would-be hit at those
+  tail positions, which is emission-equivalent;
+* the hash takes the TOP log2(table_size) bits of u*0x1e35a7bd
+  (shift = 32 - log2(tsize), encoder.nim:36-37), which only equals a
+  fixed >>18 for the full 16 K table.
 """
 
 from __future__ import annotations

@@ -271,3 +271,38 @@ class TestBlockParallelRawDecode:
             assert ok_seq == ok_par
             if ok_seq:
                 assert bytes(par) == bytes(seq)
+
+
+class TestEncoderByteIdentityAcrossBackends:
+    """Host C (level 1), device scalar kernel, and the greedy oracle all
+    emit byte-identical streams — raw AND framed (CRC + 1/8-savings rule
+    included).  Stronger than the reference's cross-implementation
+    contract (test_snappy.nim:50-53)."""
+
+    def test_host_equals_device_streams(self, monkeypatch):
+        monkeypatch.setenv("SNAPPY_TPU_SCALAR_INTERPRET", "1")
+        rng = np.random.default_rng(21)
+        word = rng.integers(0, 256, 23, dtype=np.uint8).tobytes()
+        payloads = [
+            corpus.read_data("html") or b"<html>" * 20000,
+            (word * 9000)[:150_000],
+            b"\x42" * 70_000,
+        ]
+        for p in payloads:
+            assert engine.raw_compress(p, backend="host") == engine.raw_compress(
+                p, backend="device"
+            )
+            assert engine.framed_compress(
+                p, backend="host"
+            ) == engine.framed_compress(p, backend="device")
+
+    def test_host_level1_equals_oracle_blocks(self):
+        from snappy_tpu.formats import varint
+        from snappy_tpu.testing import oracle
+
+        d = corpus.read_data("geo.protodata") or (b"proto data " * 12000)
+        for i in range(0, len(d), 65536):
+            blk = d[i : i + 65536]
+            e = host_codec.raw_compress(blk)
+            _, r = varint.decode_uint32(e)
+            assert e[r:] == oracle.encode_block(blk)
