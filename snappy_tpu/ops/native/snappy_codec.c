@@ -49,11 +49,17 @@ static inline uint8_t* emit_literal(uint8_t* op, const uint8_t* lit, uint32_t le
   uint32_t n = len - 1;
   if (n < 60) {
     *op++ = (uint8_t)(n << 2);
-    /* Blind 16-byte burst for the common short literal; the output buffer
-     * has max_compressed_len slack and the read stays inside the caller's
-     * input array (checked against in_end). */
+    /* Blind constant-size bursts for short literals (inlined vector
+     * moves; a variable-size memcpy pays dispatch): the output overshoot
+     * stays within the <=16-byte tolerance max_compressed_len provides
+     * (encoder.nim:186-191), and reads stay inside the caller's input. */
     if (len <= 16 && lit + 16 <= in_end) {
       memcpy(op, lit, 16);
+      return op + len;
+    }
+    if (len <= 32 && lit + 32 <= in_end) {
+      memcpy(op, lit, 16);
+      memcpy(op + 16, lit + 16, 16);
       return op + len;
     }
   } else if (n < 256) {
