@@ -226,6 +226,25 @@ def uncompress_framed_into(
             return Err(FrameError.invalid_input)
         read = len(C.FRAMING_HEADER)
 
+    # Host fast path: the whole resumable walk + prefix decode runs
+    # native (one C header pass, threaded slab decode straight into the
+    # caller's buffer) — semantics identical to the Python walk below,
+    # which remains the device-path and no-native implementation.
+    from . import config as _config
+    from .ops import host_codec as _hc
+
+    if _config.resolve_backend() == "host" and _hc.available():
+        import numpy as np
+
+        out_arr = np.frombuffer(out, dtype=np.uint8)
+        if out_arr.flags.writeable:
+            r, w, reason = _hc.framed_resume_decode(
+                data, read, out_arr, len(out), check_integrity
+            )
+            if r is None:
+                return Err(_FRAME_REASONS[reason])
+            return Ok((r, w))
+
     # Sequential chunk walk, exactly as the reference (snappy.nim:199-265):
     # chunks are validated one at a time and scanning STOPS at the first
     # chunk that does not fit the output budget — a malformed chunk beyond

@@ -154,6 +154,30 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_int,
         ]
+        lib.stpu_framed_count.restype = ctypes.c_long
+        lib.stpu_framed_count.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+        ]
+        lib.stpu_framed_walk.restype = ctypes.c_long
+        lib.stpu_framed_walk.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_uint64,
+            ctypes.c_int,
+            ctypes.c_void_p,  # kinds u8
+            ctypes.c_void_p,  # src_off i64
+            ctypes.c_void_p,  # src_len i64
+            ctypes.c_void_p,  # declared i64
+            ctypes.c_void_p,  # out_off i64
+            ctypes.c_void_p,  # stored_crc u32
+            ctypes.c_long,
+            ctypes.c_void_p,  # status int*
+            ctypes.c_void_p,  # read_end i64*
+            ctypes.c_void_p,  # total_out i64*
+        ]
         lib.stpu_raw_scan_blocks.restype = ctypes.c_long
         lib.stpu_raw_scan_blocks.argtypes = [
             ctypes.c_void_p,
@@ -642,7 +666,26 @@ def framed_uncompress_scanned(
         out_off[k] = o_off
         stored[k] = st
 
+    reason = _run_decode_jobs(
+        buf, kinds, src_off, src_len, declared_a, out_off, stored, nj,
+        out, check_integrity,
+    )
+    if reason != "ok":
+        return None, reason
+    if caller_buffer:
+        return b"", "ok"
+    return out[:total].tobytes(), "ok"
+
+
+def _run_decode_jobs(buf, kinds, src_off, src_len, declared_a, out_off,
+                     stored, nj: int, out: np.ndarray,
+                     check_integrity: bool) -> str:
+    """Fan chunk-decode jobs out over threads through the native slab
+    loop (decode + CRC, writes at final offsets).  Returns "ok" /
+    "invalid" / "crc"."""
+    lib = get_lib()
     src_ptr = buf.ctypes.data
+    out_ptr = out.ctypes.data
     n_workers = min(32, os.cpu_count() or 4)
     slab = max(1, (nj + n_workers * 4 - 1) // (n_workers * 4))
 
@@ -668,9 +711,74 @@ def framed_uncompress_scanned(
         rcs = list(_get_pool().map(work, starts))
     for rc in rcs:
         if rc == 1:
-            return None, "invalid"
+            return "invalid"
         if rc == 2:
-            return None, "crc"
-    if caller_buffer:
-        return b"", "ok"
-    return out[:total].tobytes(), "ok"
+            return "crc"
+    return "ok"
+
+
+_WALK_STATUS = {0: "ok", 1: "ok", 2: "invalid", 3: "crc", 4: "unknown_chunk"}
+
+
+def framed_resume_decode(
+    data: bytes,
+    start: int,
+    out: np.ndarray,
+    budget: int,
+    check_integrity: bool = True,
+) -> Tuple[Optional[int], int, str]:
+    """The reference's sequential resumable walk + decode, all native
+    (snappy.nim:199-265): one C pass validates chunk headers and stops at
+    the first chunk that does not fit ``budget``, then the taken prefix
+    decodes into ``out`` at final offsets on all cores.
+
+    Returns (read, written, reason).  ``read`` is None when the stream
+    failed (reason in {"invalid", "crc", "unknown_chunk"}); error ORDER
+    parity holds — a decode/CRC failure in the taken prefix wins over a
+    later walk-time failure.
+    """
+    lib = get_lib()
+    from . import crc32c_native
+
+    if lib is None or not crc32c_native.using_native():
+        return None, 0, "invalid"
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cap = lib.stpu_framed_count(buf.ctypes.data, len(buf), start) + 1
+    kinds = np.empty((cap,), np.uint8)
+    src_off = np.empty((cap,), np.int64)
+    src_len = np.empty((cap,), np.int64)
+    declared_a = np.empty((cap,), np.int64)
+    out_off = np.empty((cap,), np.int64)
+    stored = np.empty((cap,), np.uint32)
+    status = ctypes.c_int(0)
+    read_end = ctypes.c_int64(0)
+    total = ctypes.c_int64(0)
+    nj = lib.stpu_framed_walk(
+        buf.ctypes.data,
+        len(buf),
+        start,
+        budget,
+        1 if check_integrity else 0,
+        kinds.ctypes.data,
+        src_off.ctypes.data,
+        src_len.ctypes.data,
+        declared_a.ctypes.data,
+        out_off.ctypes.data,
+        stored.ctypes.data,
+        cap,
+        ctypes.byref(status),
+        ctypes.byref(read_end),
+        ctypes.byref(total),
+    )
+    if nj > 0:
+        assert out.dtype == np.uint8 and out.size >= int(total.value)
+        reason = _run_decode_jobs(
+            buf, kinds, src_off, src_len, declared_a, out_off, stored, nj,
+            out, check_integrity,
+        )
+        if reason != "ok":
+            return None, 0, reason
+    walk_reason = _WALK_STATUS[status.value]
+    if walk_reason != "ok":
+        return None, 0, walk_reason
+    return int(read_end.value), int(total.value), "ok"

@@ -42,6 +42,11 @@ long stpu_raw_scan_blocks(const uint8_t* in, size_t n, size_t out_len,
 int stpu_decode_raw_segments(const uint8_t* in, const int64_t* in_offs,
                              long seg_lo, long seg_hi, uint8_t* out,
                              size_t out_len);
+long stpu_framed_walk(const uint8_t* s, size_t n, size_t start,
+                      uint64_t budget, int check_integrity, uint8_t* kinds,
+                      int64_t* src_off, int64_t* src_len, int64_t* declared,
+                      int64_t* out_off, uint32_t* stored_crc, long cap,
+                      int* status, int64_t* read_end, int64_t* total_out);
 
 /* ---- edge-coverage map (AFL-style prev-pc xor hash) ---- */
 #define MAP_BITS 16
@@ -186,67 +191,20 @@ static void run_one(const uint8_t* data, size_t n) {
     }
   }
 
-  /* 3: framed walk + slab decode (input as header-less framed stream) */
+  /* 3: framed walk + slab decode (input as header-less framed stream),
+   * through the PRODUCTION walk (stpu_framed_walk) so its validation and
+   * resume-budget logic are under the coverage loop too. */
   {
     uint8_t kinds[64];
     int64_t so[64], sl[64], dc[64], oo[64];
     uint32_t cr[64];
-    size_t read = 0, pos = 0;
-    int k = 0, bad = 0;
-    while (n - read > 0 && k < 64) {
-      if (n - read < 4) {
-        bad = 1;
-        break;
-      }
-      uint8_t id = data[read];
-      uint32_t dlen = (uint32_t)data[read + 1] |
-                      ((uint32_t)data[read + 2] << 8) |
-                      ((uint32_t)data[read + 3] << 16);
-      if (n - read - 4 < dlen) {
-        bad = 1;
-        break;
-      }
-      size_t dpos = read + 4;
-      if (id == 0x00 || id == 0x01) {
-        if (dlen < 4) {
-          bad = 1;
-          break;
-        }
-        uint32_t inner;
-        size_t u2;
-        if (id == 0x00) {
-          if (read_varint(data + dpos + 4, dlen - 4, &inner, &u2) != 0 ||
-              inner > 65536) {
-            bad = 1;
-            break;
-          }
-          kinds[k] = 0;
-          so[k] = (int64_t)(dpos + 4 + u2);
-          sl[k] = (int64_t)(dlen - 4 - u2);
-        } else {
-          inner = dlen - 4;
-          if (inner > 65536) {
-            bad = 1;
-            break;
-          }
-          kinds[k] = 1;
-          so[k] = (int64_t)(dpos + 4);
-          sl[k] = inner;
-        }
-        dc[k] = inner;
-        oo[k] = (int64_t)pos;
-        memcpy(&cr[k], data + dpos, 4);
-        pos += inner;
-        k++;
-      } else if (id < 0x80) {
-        bad = 1;
-        break;
-      }
-      read += 4 + dlen;
-    }
-    if (!bad && k > 0 && pos <= OUT_CAP)
-      (void)stpu_decode_framed_slab(data, kinds, so, sl, dc, oo, cr, k, dec1,
-                                    1);
+    int status;
+    int64_t read_end, total;
+    long k = stpu_framed_walk(data, n, 0, (uint64_t)OUT_CAP, 1, kinds, so, sl,
+                              dc, oo, cr, 64, &status, &read_end, &total);
+    if (k > 0 && total <= (int64_t)OUT_CAP)
+      (void)stpu_decode_framed_slab(data, kinds, so, sl, dc, oo, cr, (int)k,
+                                    dec1, 1);
   }
 }
 

@@ -580,6 +580,148 @@ int stpu_decode_framed_slab(const uint8_t* stream, const uint8_t* kinds,
   return 0;
 }
 
+/* ---------------- framed chunk walk ---------------- */
+
+/* Strict uint32 LEB128 (5-byte limit, the decode-path rule,
+ * snappy.nim:92).  Returns bytes consumed, or 0 on truncation/overflow. */
+static inline uint32_t walk_varint(const uint8_t* p, size_t n,
+                                   uint32_t* val) {
+  uint64_t v = 0;
+  size_t lim = n < 5 ? n : 5;
+  for (size_t i = 0; i < lim; i++) {
+    v |= (uint64_t)(p[i] & 0x7f) << (7 * i);
+    if (!(p[i] & 0x80)) {
+      if (v >> 32) return 0;
+      *val = (uint32_t)v;
+      return (uint32_t)(i + 1);
+    }
+  }
+  return 0;
+}
+
+/* Count chunk headers by hopping them (no validation beyond length
+ * containment) so callers can size the walk arrays exactly. */
+long stpu_framed_count(const uint8_t* s, size_t n, size_t start) {
+  size_t read = start;
+  long k = 0;
+  while (n - read >= 4) {
+    uint32_t dlen = (uint32_t)s[read + 1] | ((uint32_t)s[read + 2] << 8) |
+                    ((uint32_t)s[read + 3] << 16);
+    if (n - read - 4 < dlen) break;
+    read += 4 + dlen;
+    k++;
+  }
+  return k;
+}
+
+#define STPU_MAX_FRAME 65536u
+
+/* The reference's sequential chunk walk (snappy.nim:199-265) with the
+ * resume protocol: validate chunks one at a time, STOP (without error)
+ * at the first chunk that does not fit `budget`, and record decode jobs
+ * for the taken prefix.  Walk-time failures are DEFERRED: the caller
+ * must decode the taken prefix first (an earlier chunk's decode/CRC
+ * error takes precedence), then report *status.
+ *
+ * Fills per-JOB arrays (data chunks only; skippable chunks consume input
+ * but record nothing).  Returns the job count.
+ *   *status: 0 clean EOF, 1 stopped at budget (resume point),
+ *            2 invalid_input, 3 crc_mismatch, 4 unknown_chunk
+ *   *read_end: input offset of the first unprocessed chunk header
+ *   *total_out: planned output bytes of the taken prefix */
+long stpu_framed_walk(const uint8_t* s, size_t n, size_t start,
+                      uint64_t budget, int check_integrity, uint8_t* kinds,
+                      int64_t* src_off, int64_t* src_len, int64_t* declared,
+                      int64_t* out_off, uint32_t* stored_crc, long cap,
+                      int* status, int64_t* read_end, int64_t* total_out) {
+  size_t read = start;
+  uint64_t written = 0;
+  long k = 0;
+  *status = 0;
+  while (n - read > 0) {
+    if (n - read < 4) {
+      *status = 2;
+      break;
+    }
+    uint32_t cid = s[read];
+    uint32_t dlen = (uint32_t)s[read + 1] | ((uint32_t)s[read + 2] << 8) |
+                    ((uint32_t)s[read + 3] << 16);
+    if (n - read - 4 < dlen) {
+      *status = 2;
+      break;
+    }
+    size_t dpos = read + 4;
+    if (cid == 0x00) { /* compressed */
+      if (dlen < 4) {
+        *status = 2;
+        break;
+      }
+      uint32_t inner;
+      uint32_t used = walk_varint(s + dpos + 4, dlen - 4, &inner);
+      if (used == 0 || inner > STPU_MAX_FRAME) {
+        *status = 2;
+        break;
+      }
+      if (inner > budget - written) {
+        *status = 1; /* resume point: this chunk's header offset */
+        break;
+      }
+      if (k >= cap) {
+        *status = 2;
+        break;
+      }
+      kinds[k] = 0;
+      src_off[k] = (int64_t)(dpos + 4 + used);
+      src_len[k] = (int64_t)(dlen - 4 - used);
+      declared[k] = inner;
+      out_off[k] = (int64_t)written;
+      memcpy(&stored_crc[k], s + dpos, 4);
+      written += inner;
+      k++;
+    } else if (cid == 0x01) { /* uncompressed */
+      if (dlen < 4) {
+        *status = 2;
+        break;
+      }
+      uint32_t inner = dlen - 4;
+      if (inner > STPU_MAX_FRAME || inner > budget - written) {
+        /* The reference verifies this chunk's CRC BEFORE the size cap
+         * and before noticing it does not fit (snappy.nim:244-251). */
+        if (check_integrity) {
+          uint32_t st;
+          memcpy(&st, s + dpos, 4);
+          if (snappy_tpu_masked_crc32c(s + dpos + 4, dlen - 4) != st) {
+            *status = 3;
+            break;
+          }
+        }
+        *status = inner > STPU_MAX_FRAME ? 2 : 1;
+        break;
+      }
+      if (k >= cap) {
+        *status = 2;
+        break;
+      }
+      kinds[k] = 1;
+      src_off[k] = (int64_t)(dpos + 4);
+      src_len[k] = inner;
+      declared[k] = inner;
+      out_off[k] = (int64_t)written;
+      memcpy(&stored_crc[k], s + dpos, 4);
+      written += inner;
+      k++;
+    } else if (cid < 0x80 && cid != 0xff) { /* reserved unskippable */
+      *status = 4;
+      break;
+    }
+    /* skippable (cid >= 0x80) and the 0xff stream header: consume */
+    read += 4 + dlen;
+  }
+  *read_end = (int64_t)read;
+  *total_out = (int64_t)written;
+  return k;
+}
+
 /* ---------------- block-parallel raw decode ---------------- */
 
 /* Branchless tag-metrics LUT for the boundary scan: for tag byte b,
