@@ -1,0 +1,217 @@
+"""Long-segment DMA emitter for the scalar-core kernels.
+
+The scalar word loop moves ~0.8 GB/s (5 ns/word, measured e26).  Long
+Snappy segments — whole-block literals on incompressible data
+(fireworks.jpeg: one literal per 64 KiB block), the >= 8 KiB literals
+that make up 81% of paper-100k.pdf — don't need the scalar core at all:
+the DMA engines move 4 KiB granules at ~7.5 GB/s and the VPU fixes the
+byte phase with a dynamic rotate at ~7 GB/s (measured e26/e26c/e26e).
+This is the TPU answer to the reference decoder's length-specialized
+fast paths (decoder.nim:117-125 does the same specialization with
+scalar 8-byte copies).
+
+Hardware facts that shape the design (experiments/e26*, on-chip v5e):
+
+* Mosaic DMA slices of a 1D SMEM buffer must be 4 KiB-aligned in BOTH
+  offset and size, and sizes must be static -> move data in fixed
+  1024-word granules with a dynamic granule count (depth-2 pipelined).
+* Cross-shape DMA is illegal and 2D SMEM indexing costs +4 ns per
+  scalar access -> the unified buffer stays 1D; the VPU rotate runs in
+  a 1D VMEM bounce buffer reshaped (B//128, 128) per static bucket.
+* `pltpu.roll` accepts dynamic shifts; a flat byte-rotate of a 64 KiB
+  tile costs ~9 us (7.2 GB/s) as two row/lane roll pairs + byte funnel.
+
+Emit contract (same clobber discipline as scalar_emit.emit_mem):
+bytes in [dst, dst+length) get buf[src:src+length]; bytes below dst are
+preserved (head merge + one scalar boundary-word fix); bytes in
+(dst+length, align4k(dst)+4096*ceil(...)) — i.e. up to 4 KiB past the
+segment end — are clobbered with unspecified values and must be at
+positions >= the caller's running cursor (later segments repair them).
+
+Caller guarantees:
+  * length >= 1 (profitable from ~2 KiB; decode uses LONG_T)
+  * src - (dst & 4095) >= 0                      (else: word loop)
+  * the read span  [align4k(src - dst%4096), +4096*gs) stays in-buffer
+  * the write span [align4k(dst), +4096*gl) stays in-buffer
+  * read and write spans are disjoint (literals: src in the comp
+    region; far copies: offset >= span length)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_I32 = jnp.int32
+
+G = 1024                      # DMA granule, words (4 KiB)
+# Rotate tiles must have POWER-OF-TWO row counts: dynamic pltpu.roll
+# miscompiles (silently wrong bytes) on non-power-of-two sublane counts
+# (measured: 160 rows wrong, 16/64/128/256 right — experiments/e26e).
+VB_WORDS = 32768              # VMEM bounce capacity (128 KiB, 256 rows)
+HB_WORDS = G                  # head-merge buffer
+ROT_BUCKETS = (2048, 8192, VB_WORDS)   # static rotate sizes (words)
+LONG_T = 4096                 # decode threshold, bytes (e26e: >=1.5x above 2K)
+# Write slack the caller's buffer needs past the last legal segment end.
+SLACK_WORDS = G
+
+
+def scratch_shapes():
+    """Scratch entries to append to a kernel's scratch_shapes."""
+    return [
+        pltpu.VMEM((VB_WORDS,), jnp.int32),
+        pltpu.VMEM((HB_WORDS,), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
+    ]
+
+
+def _flat_rotate_words(T, w):
+    """R.flat[i] = T.flat[(i+w) % N] for 2D T, dynamic w in [0, N)."""
+    rows = w // 128
+    lanes = w % 128
+    a = pltpu.roll(T, -rows, axis=0)
+    b = pltpu.roll(T, -(rows + 1), axis=0)
+    ra = pltpu.roll(a, -lanes, axis=1)
+    rb = pltpu.roll(b, -lanes, axis=1)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, T.shape, 1)
+    return jnp.where(lane_idx < 128 - lanes, ra, rb)
+
+
+def _flat_rotate_one(R):
+    """Rn.flat[i] = R.flat[i+1] (static shifts — cheap).  Static rolls
+    must use the positive equivalent N-1 of shift -1."""
+    rows = R.shape[0]
+    ra = pltpu.roll(R, 127, axis=1)
+    rb = pltpu.roll(pltpu.roll(R, rows - 1, axis=0), 127, axis=1)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, R.shape, 1)
+    return jnp.where(lane_idx < 127, ra, rb)
+
+
+def _rotate_bytes_2d(T, byte_shift):
+    """Left-rotate the flat little-endian byte stream of 2D int32 tile T
+    by `byte_shift` bytes (dynamic, >= 0)."""
+    w = byte_shift >> 2
+    r = byte_shift & 3
+    R = _flat_rotate_words(T, w)
+    Rn = _flat_rotate_one(R)       # = flat rotate by w+1, derived cheaply
+    Tu = pltpu.bitcast(R, jnp.uint32)
+    Nu = pltpu.bitcast(Rn, jnp.uint32)
+    sh = (8 * r).astype(jnp.uint32)
+    out = jax.lax.select(
+        r == 0, Tu, (Tu >> sh) | (Nu << (jnp.uint32(32) - sh)))
+    return pltpu.bitcast(out, jnp.int32)
+
+
+def make_emit_long(buf_ref, vbuf_ref, hbuf_ref, sems, sem_h):
+    """Build emit_long(dst_b, length, src_b) over one unified 1D SMEM
+    buffer.  All arguments are absolute byte offsets into ``buf_ref``.
+    See the module docstring for the contract."""
+
+    def emit_long(dst_b, length, src_b):
+        d0w = pl.multiple_of((dst_b >> 2) & ~1023, G)
+        head = dst_b - 4 * d0w              # bytes to preserve, 0..4095
+        v = src_b - head                    # virtual src byte for d0w*4
+        s0w = pl.multiple_of((v >> 2) & ~1023, G)
+        phase = v - 4 * s0w                 # rotate amount, 0..4095 bytes
+        lbytes = head + length
+        gl = (lbytes + 4095) >> 12          # write granules
+        gs = (phase + lbytes + 4095) >> 12  # read granules (>= gl)
+        direct = (phase == 0) & (head == 0)
+
+        @pl.when(direct)
+        def _():
+            # src and dst are both 4 KiB-aligned: straight SMEM->SMEM.
+            def dd(g, slot):
+                return pltpu.make_async_copy(
+                    buf_ref.at[pl.ds(pl.multiple_of(s0w + g * G, G), G)],
+                    buf_ref.at[pl.ds(pl.multiple_of(d0w + g * G, G), G)],
+                    sems.at[slot])
+
+            dd(jnp.int32(0), 0).start()
+
+            def body(g, c):
+                dd(g, g & 1).start()
+                dd(g - 1, (g - 1) & 1).wait()
+                return c
+
+            jax.lax.fori_loop(1, gl, body, jnp.int32(0))
+            dd(gl - 1, (gl - 1) & 1).wait()
+
+        @pl.when(~direct)
+        def _():
+            # dst head region -> VMEM for the merge
+            cp_h = pltpu.make_async_copy(
+                buf_ref.at[pl.ds(d0w, G)], hbuf_ref, sem_h)
+            cp_h.start()
+            # pre-read the boundary word the write-back will clobber
+            wb_lo = dst_b >> 2
+            keep_lo = (_I32(1) << ((dst_b & 3) * 8)) - 1
+            old_lo = buf_ref[wb_lo]
+
+            # inbound granules, depth-2 pipelined on the 2-sem ring
+            def in_dma(g, slot):
+                return pltpu.make_async_copy(
+                    buf_ref.at[pl.ds(pl.multiple_of(s0w + g * G, G), G)],
+                    vbuf_ref.at[pl.ds(pl.multiple_of(g * G, G), G)],
+                    sems.at[slot])
+
+            in_dma(jnp.int32(0), 0).start()
+
+            def in_body(g, c):
+                in_dma(g, g & 1).start()
+                in_dma(g - 1, (g - 1) & 1).wait()
+                return c
+
+            jax.lax.fori_loop(1, gs, in_body, jnp.int32(0))
+            in_dma(gs - 1, (gs - 1) & 1).wait()
+            cp_h.wait()
+
+            # bucketed rotate + head merge (static shapes per bucket)
+            hw = head >> 2
+
+            def do_bucket(bwords):
+                def body():
+                    T = vbuf_ref[pl.ds(0, bwords)].reshape(
+                        bwords // 128, 128)
+                    R = _rotate_bytes_2d(T, phase)
+                    iota = (jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 128), 0) * 128
+                        + jax.lax.broadcasted_iota(
+                            jnp.int32, (8, 128), 1))
+                    H = hbuf_ref[...].reshape(8, 128)
+                    merged = jnp.where(iota < hw, H, R[:8, :])
+                    vbuf_ref[pl.ds(0, bwords)] = R.reshape(bwords)
+                    vbuf_ref[pl.ds(0, G)] = merged.reshape(G)
+                return body
+
+            need = gs * G
+            idx = jnp.int32(0)
+            for b in ROT_BUCKETS[:-1]:
+                idx = idx + (need > b).astype(jnp.int32)
+            jax.lax.switch(idx, [do_bucket(b) for b in ROT_BUCKETS])
+
+            # outbound granules, depth-2 pipelined
+            def out_dma(g, slot):
+                return pltpu.make_async_copy(
+                    vbuf_ref.at[pl.ds(pl.multiple_of(g * G, G), G)],
+                    buf_ref.at[pl.ds(pl.multiple_of(d0w + g * G, G), G)],
+                    sems.at[slot])
+
+            out_dma(jnp.int32(0), 0).start()
+
+            def out_body(g, c):
+                out_dma(g, g & 1).start()
+                out_dma(g - 1, (g - 1) & 1).wait()
+                return c
+
+            jax.lax.fori_loop(1, gl, out_body, jnp.int32(0))
+            out_dma(gl - 1, (gl - 1) & 1).wait()
+
+            # scalar boundary fix: restore bytes below dst_b in its word
+            new_lo = buf_ref[wb_lo]
+            buf_ref[wb_lo] = (old_lo & keep_lo) | (new_lo & ~keep_lo)
+
+    return emit_long
