@@ -84,6 +84,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import emit_long as emit_long_mod
 from . import scalar_emit
 
 # Compressed capacity: max_compressed_len(65536) = 76490 bytes.  The HBM
@@ -92,7 +93,9 @@ from . import scalar_emit
 C_WORDS = 19200        # capacity bound used by callers (76800 bytes)
 CW_PAD = 19456         # comp words per chunk (19 * 1024)
 OUT_WORDS = 16384      # 65536 bytes (16 * 1024)
-SCR_WORDS = 32         # dead-store scratch + spec-store spill margin
+# dead-store scratch + spill margin; 1024 extra words absorb the long-
+# literal DMA emitter's up-to-4-KiB clobber zone past the out window
+SCR_WORDS = 1024 + 32
 BUF_WORDS = CW_PAD + OUT_WORDS + SCR_WORDS
 # Raw-stream variant: one window of up to 128 KiB output with up to
 # max_compressed_len(131072) = 153146 compressed bytes, all SMEM-resident.
@@ -150,7 +153,7 @@ def _make_kernel(cw_pad: int, out_words: int):
     scr_b = 4 * (cw_pad + out_words + 4)         # dead-store byte offset
 
     def _kernel(lut_ref, meta_ref, comp_ref, out_ref, status_ref,
-                buf_ref, sem_in, sem_out):
+                buf_ref, sem_in, sem_out, vbuf, hbuf, sems2, sem_h):
         """Decode one chunk per grid step.
 
         lut_ref:    SMEM [512] int32 — tag LUT + unified ext-mask bank
@@ -159,6 +162,7 @@ def _make_kernel(cw_pad: int, out_words: int):
         out_ref:    ANY  [nb * out_words] int32 — packed output
         status_ref: SMEM [1, 1, 2] int32 — (ok, written)
         buf_ref:    SMEM scratch [cw_pad + out_words + SCR_WORDS] int32
+        vbuf/hbuf/sems2/sem_h: long-literal DMA emitter scratch
         """
         i = pl.program_id(0)
         n = meta_ref[0, 0, 0]
@@ -175,38 +179,59 @@ def _make_kernel(cw_pad: int, out_words: int):
         BUF_CAP = cw_pad + out_words + SCR_WORDS
         emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(buf_ref)
         parse = scalar_emit.make_parser(lut_ref, buf_ref)
-        dispatch = scalar_emit.make_tag_dispatch(
-            emit_mem, do_copy_near, out_base_b, scr_b, BUF_CAP
-        )
+        emit_long = emit_long_mod.make_emit_long(
+            buf_ref, vbuf, hbuf, sems2, sem_h)
 
-        def tag_step(state):
-            pos, w, err = state
-            b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
-            # uint32 wraparound (ext_val == 0xffffffff) and lengths >= 2^31
-            # cannot fit any 64 KiB output: treat sign bit as error.
-            consumed = hdr + jax.lax.select(is_lit, length, 0)
+        def make_walk(with_long: bool):
+            """One full tag walk; the long-literal DMA dispatch costs a
+            few ops per tag, so it is instantiated as a separate walk
+            selected per CHUNK (below), never paid by text chunks."""
+            dispatch = scalar_emit.make_tag_dispatch(
+                emit_mem, do_copy_near, out_base_b, scr_b, BUF_CAP,
+                emit_long=emit_long if with_long else None,
+                long_t=emit_long_mod.LONG_T,
+            )
 
-            # --- validation (decoder.nim:54-79, 111-113) ---
-            bad = needs & (ext_val < 0)
-            # consumed > n - pos is overflow-safe (n - pos is small); the
-            # consumed < 0 check catches hdr + length int32 wraparound
-            bad |= (consumed > n - pos) | (consumed < 0)
-            bad |= length > m - w
-            bad |= (~is_lit) & ((off <= 0) | (off > w))
+            def tag_step(state):
+                pos, w, err = state
+                b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
+                # uint32 wraparound (ext_val == 0xffffffff) and lengths
+                # >= 2^31 cannot fit any 64 KiB output: sign bit = error.
+                consumed = hdr + jax.lax.select(is_lit, length, 0)
 
-            dispatch(pos, w, hdr, is_lit, off, bad, length)
+                # --- validation (decoder.nim:54-79, 111-113) ---
+                bad = needs & (ext_val < 0)
+                # consumed > n - pos is overflow-safe (n - pos is small);
+                # consumed < 0 catches hdr + length int32 wraparound
+                bad |= (consumed > n - pos) | (consumed < 0)
+                bad |= length > m - w
+                bad |= (~is_lit) & ((off <= 0) | (off > w))
 
-            pos2 = jax.lax.select(bad, pos, pos + consumed)
-            w2 = jax.lax.select(bad, w, w + length)
-            return pos2, w2, err | bad
+                dispatch(pos, w, hdr, is_lit, off, bad, length)
 
-        def cond(state):
-            pos, w, err = state
-            return (pos < n) & (~err)
+                pos2 = jax.lax.select(bad, pos, pos + consumed)
+                w2 = jax.lax.select(bad, w, w + length)
+                return pos2, w2, err | bad
 
-        pos, w, err = jax.lax.while_loop(
-            cond, tag_step, (jnp.int32(0), jnp.int32(0), jnp.bool_(False))
-        )
+            def cond(state):
+                pos, w, err = state
+                return (pos < n) & (~err)
+
+            def walk():
+                return jax.lax.while_loop(
+                    cond, tag_step,
+                    (jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
+
+            return walk
+
+        # Long literals (>= LONG_T) only exist in literal-dominated
+        # chunks, and those are exactly the high-compression-ratio ones
+        # (jpeg ~1.0, pdf ~0.87 vs text <= 0.6 per 64 KiB block): pick
+        # the walk once per chunk from the n/m ratio, so text chunks pay
+        # zero per-tag cost for the DMA fast path.
+        long_chunk = (10 * n >= 7 * m) & (m >= emit_long_mod.LONG_T)
+        pos, w, err = jax.lax.cond(
+            long_chunk, make_walk(True), make_walk(False))
         ok = (~err) & (pos == n) & (w == m)
         status_ref[0, 0, 0] = jax.lax.select(ok, jnp.int32(1), jnp.int32(0))
         status_ref[0, 0, 1] = w
@@ -244,7 +269,7 @@ def _call(lut, meta, comp_words, nb: int, cw_pad: int, out_words: int,
             pltpu.SMEM((cw_pad + out_words + SCR_WORDS,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-        ],
+        ] + emit_long_mod.scratch_shapes(),
         interpret=interpret,
     )(lut, meta, comp_words)
     return out_flat.reshape(nb, 1, out_words), status

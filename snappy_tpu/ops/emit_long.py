@@ -119,7 +119,11 @@ def make_emit_long(buf_ref, vbuf_ref, hbuf_ref, sems, sem_h):
         lbytes = head + length
         gl = (lbytes + 4095) >> 12          # write granules
         gs = (phase + lbytes + 4095) >> 12  # read granules (>= gl)
-        direct = (phase == 0) & (head == 0)
+        # The direct path's depth-2 pipelining lets granule g's read
+        # overlap granule g-1's in-flight write: require the spans at
+        # least 2 granules apart (else take the always-safe rotate
+        # path, whose reads all complete before its first write).
+        direct = (phase == 0) & (head == 0) & (d0w - s0w >= 2 * G)
 
         @pl.when(direct)
         def _():

@@ -455,3 +455,76 @@ class TestGridStreamingDecoder:
         body = bytes([0xFC, 0xFF, 0xFF, 0xFF, 0x7F]) + enc[v:]
         out, reason = self._both(body, len(payload))
         assert out is None and reason == "invalid"
+
+
+class TestLongLiteralDMAEmit:
+    """The long-literal DMA emitter (ops/emit_long.py) activates only in
+    high-ratio chunks (10n >= 7m): these streams are built by hand to hit
+    each of its paths — rotate+head-merge, direct (phase-aligned),
+    v<0 word-loop fallback — plus the gate-off word-loop case."""
+
+    @staticmethod
+    def _lit(data):
+        n = len(data) - 1
+        if n < 60:
+            return bytes([n << 2]) + data
+        if n < 256:
+            return bytes([60 << 2, n]) + data
+        return bytes([61 << 2]) + n.to_bytes(2, "little") + data
+
+    @staticmethod
+    def _copy2(off, ln):
+        return bytes([((ln - 1) << 2) | 2]) + off.to_bytes(2, "little")
+
+    def _check(self, body):
+        want, err = oracle.decode_all_tags(body, 1 << 20)
+        assert err is None
+        meta, comp = decode_scalar.pack_chunks([body], [len(want)])
+        out_w, status = decode_scalar.decode_chunks_words(
+            meta, comp, 1, interpret=True)
+        status = np.asarray(status)
+        assert bool(status[0, 0, 0])
+        got = decode_scalar.unpack_output(np.asarray(out_w),
+                                          status[:, 0, 1])[0]
+        assert got == bytes(want)
+
+    def test_rotate_path_with_big_head(self):
+        r = random.Random(11)
+        body = self._lit(r.randbytes(4090)) + self._lit(r.randbytes(40000))
+        self._check(body)
+
+    def test_direct_path_phase_aligned(self):
+        # after lit(4087)+copy2: pos=4093, w=4096 -> src 4096, dst
+        # 4096-aligned: phase==0 and head==0 (the direct SMEM->SMEM arm)
+        r = random.Random(12)
+        body = (self._lit(r.randbytes(4087)) + self._copy2(100, 9)
+                + self._lit(r.randbytes(40000)))
+        self._check(body)
+
+    def test_v_negative_wordloop_fallback(self):
+        # 1-byte literal + 63 near copies inflate w to 4033 from pos 191:
+        # the long literal's head (4033) exceeds its src -> v < 0 -> the
+        # in-branch word-loop fallback
+        r = random.Random(13)
+        body = self._lit(b"a")
+        for _ in range(63):
+            body += self._copy2(1, 64)
+        body += self._lit(r.randbytes(40000))
+        self._check(body)
+
+    def test_gate_off_low_ratio_chunk(self):
+        # long literal inside a low-ratio chunk: 10n < 7m, so the plain
+        # walk (word loop) handles it
+        r = random.Random(14)
+        body = self._lit(r.randbytes(5000))
+        for _ in range(220):
+            body += self._copy2(4000, 64)
+        self._check(body)
+
+    def test_many_long_literals_with_copies(self):
+        r = random.Random(15)
+        body = self._lit(r.randbytes(8000)) + self._copy2(500, 30)
+        body += self._lit(r.randbytes(6000)) + self._copy2(4000, 64)
+        body += self._lit(r.randbytes(12000)) + self._copy2(2, 17)
+        body += self._lit(r.randbytes(9000))
+        self._check(body)
