@@ -41,6 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import emit_long as emit_long_mod
 from . import scalar_emit
 
 SC_WORDS = 19200  # comp window: 76800 bytes
@@ -761,7 +762,9 @@ def decode_raw_stream_bytes(
 
 G_SCB = 20480                     # comp slice words (81920 B, 1024-aligned)
 G_HIST = 16384                    # prev-window words
-G_SCR = 32                        # dead-store scratch + spill margin (words)
+# dead-store scratch + spill margin; 1024 extra words absorb the long-
+# literal DMA emitter's up-to-4-KiB clobber zone past the out window
+G_SCR = 1024 + 32
 G_BUF_WORDS = G_SCB + G_HIST + OW_WORDS + G_SCR
 G_OUT_BASE_B = 4 * (G_SCB + G_HIST)
 G_SCR_B = 4 * (G_SCB + G_HIST + OW_WORDS + 4)
@@ -784,10 +787,13 @@ _GS_ERR = 6
 _GS_DONE = 7
 _GS_UNSUP = 8
 _GS_ALP = 9       # aligned comp-slice cursor currently resident in SMEM
+_GS_LONGF = 10    # 1: this window takes the long-literal tag loop
+_GS_WPOS = 11     # comp cursor at the current window's start
 
 
 def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
-                 ms, buf_ref, sem_c, sem_o, sem_h):
+                 ms, buf_ref, sem_c, sem_o, sem_h,
+                 el_vbuf, el_hbuf, el_sems, el_semh):
     """One grid step = one comp slice (>= one full output window for every
     non-adversarial stream).  State rides in ``ms`` across steps."""
     g = pl.program_id(0)
@@ -799,6 +805,13 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             return c
 
         jax.lax.fori_loop(0, 16, cpst, 0)
+        # seed the long-literal flag from the stream's global ratio; the
+        # per-window update below keeps it adaptive (declared // 10 * 7
+        # avoids int32 overflow on multi-GB streams)
+        ms[_GS_LONGF] = jax.lax.select(
+            st_ref[0, 0, _GI_COMP_LEN]
+            >= (st_ref[0, 0, _GI_DECLARED] // 10) * 7,
+            jnp.int32(1), jnp.int32(0))
 
     comp_len = st_ref[0, 0, _GI_COMP_LEN]
     declared = st_ref[0, 0, _GI_DECLARED]
@@ -841,9 +854,16 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
 
         emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(buf_ref)
         parse = scalar_emit.make_parser(lut_ref, buf_ref)
+        emit_long = emit_long_mod.make_emit_long(
+            buf_ref, el_vbuf, el_hbuf, el_sems, el_semh)
         dispatch = scalar_emit.make_tag_dispatch(
             emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS
         )
+        dispatch_long = scalar_emit.make_tag_dispatch(
+            emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS,
+            emit_long=emit_long, long_t=emit_long_mod.LONG_T,
+        )
+        long_mode = ms[_GS_LONGF] == 1
         _TRUE = jnp.bool_(True)
 
         def do_copy(w, off, length):
@@ -871,9 +891,21 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             eff_c = jnp.clip(jnp.minimum(plen, capw), 0, None)
 
             def lit(_):
-                @pl.when(eff_l > 0)
+                # multi-window literals (the incompressible bulk path)
+                # resume here once per slice: take the DMA emitter when
+                # the remainder is long (service is cold — the check is
+                # free relative to the tag loop)
+                dst_b = G_OUT_BASE_B + w
+                big = ((eff_l >= emit_long_mod.LONG_T)
+                       & (pos >= (dst_b & 4095)))
+
+                @pl.when((eff_l > 0) & (~big))
                 def _():
-                    emit_mem(G_OUT_BASE_B + w, eff_l, pos, _TRUE)
+                    emit_mem(dst_b, eff_l, pos, _TRUE)
+
+                @pl.when(big)
+                def _():
+                    emit_long(dst_b, eff_l, pos)
 
                 rem = plen - eff_l
                 return (
@@ -916,100 +948,124 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             more, navail - jnp.int32(MARGIN - 1), navail
         )
 
-        def fast_step(s):
-            pos, w, _ = s
-            b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
+        def make_tag_loop(with_long: bool):
+            """The whole fast/slow tag-loop machinery, instantiated twice
+            and selected per WINDOW by the adaptive ratio flag: the long
+            variant routes >= LONG_T literals through `special` to the
+            slow step's DMA emitter; the plain variant is byte-for-byte
+            the round-2 loop, so text windows pay zero per-tag cost."""
+            sdisp = dispatch_long if with_long else dispatch
 
-            pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
-            special = needs & ((ext_val < 0) | (length < 0))
-            special |= is_lit & ((pay_end > navail) | (pay_end < 0))
-            special |= (~is_lit) & (
-                (pos + hdr > navail) | (off <= 0) | (off > hist_cap + w)
-            )
-            special |= length > m - w
+            def fast_step(s):
+                pos, w, _ = s
+                b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
 
-            dispatch(pos, w, hdr, is_lit, off, special, length)
+                pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
+                special = needs & ((ext_val < 0) | (length < 0))
+                special |= is_lit & ((pay_end > navail) | (pay_end < 0))
+                special |= (~is_lit) & (
+                    (pos + hdr > navail) | (off <= 0) | (off > hist_cap + w)
+                )
+                special |= length > m - w
+                if with_long:
+                    special |= is_lit & (length >= emit_long_mod.LONG_T)
 
-            adv = pos + hdr + jax.lax.select(is_lit, length, jnp.int32(0))
-            pos2 = jax.lax.select(special, pos, adv)
-            w2 = jax.lax.select(special, w, w + length)
-            return pos2, w2, special
+                dispatch(pos, w, hdr, is_lit, off, special, length)
 
-        def slow_step(s):
-            """Full validation/split logic for the one tag the fast loop
-            flagged (decoder.nim:54-79, 111-113 + window/global caps)."""
-            pos, w, err, stop, pk, plen, poff = s
-            b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
+                adv = pos + hdr + jax.lax.select(is_lit, length, jnp.int32(0))
+                pos2 = jax.lax.select(special, pos, adv)
+                w2 = jax.lax.select(special, w, w + length)
+                return pos2, w2, special
 
-            # int32 overflow of the 4-byte length extension (length < 0,
-            # e.g. ext_val == 0x7fffffff) must be rejected here too: the
-            # caps below all compare false against a negative length
-            bad = needs & ((ext_val < 0) | (length < 0))
-            pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
-            bad |= is_lit & (~more) & ((pay_end > navail) | (pay_end < 0))
-            bad |= (~is_lit) & (pos + hdr > navail)
-            bad |= (~is_lit) & ((off <= 0) | (off > base_w + w))
-            # total output overrun (snappy.nim:107-108): splits may only
-            # happen at intermediate window caps, never past declared
-            bad |= length > (declared - base_w) - w
-            unsup = (~is_lit) & (~bad) & (off > 65536 + w)
-            bad |= unsup
+            def slow_step(s):
+                """Full validation/split logic for the one tag the fast
+                loop flagged (decoder.nim:54-79, 111-113 + window/global
+                caps)."""
+                pos, w, err, stop, pk, plen, poff = s
+                b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
 
-            # effective emission under window/slice caps
-            cap_out = m - w
-            avail_payload = navail - (pos + hdr)
-            eff = jnp.minimum(length, cap_out)
-            eff = jax.lax.select(
-                is_lit & more, jnp.minimum(eff, avail_payload), eff
-            )
-            eff = jnp.maximum(eff, 0)
-            split = (~bad) & (eff < length)
+                # int32 overflow of the 4-byte length extension (length
+                # < 0, e.g. ext_val == 0x7fffffff) must be rejected here
+                # too: the caps below all compare false against a
+                # negative length
+                bad = needs & ((ext_val < 0) | (length < 0))
+                pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
+                bad |= is_lit & (~more) & ((pay_end > navail)
+                                           | (pay_end < 0))
+                bad |= (~is_lit) & (pos + hdr > navail)
+                bad |= (~is_lit) & ((off <= 0) | (off > base_w + w))
+                # total output overrun (snappy.nim:107-108): splits may
+                # only happen at intermediate window caps, never past
+                # declared
+                bad |= length > (declared - base_w) - w
+                unsup = (~is_lit) & (~bad) & (off > 65536 + w)
+                bad |= unsup
 
-            dispatch(pos, w, hdr, is_lit, off, bad, eff)
+                # effective emission under window/slice caps
+                cap_out = m - w
+                avail_payload = navail - (pos + hdr)
+                eff = jnp.minimum(length, cap_out)
+                eff = jax.lax.select(
+                    is_lit & more, jnp.minimum(eff, avail_payload), eff
+                )
+                eff = jnp.maximum(eff, 0)
+                split = (~bad) & (eff < length)
 
-            pos2 = jax.lax.select(
-                bad, pos, pos + hdr + jax.lax.select(is_lit, eff, jnp.int32(0))
-            )
-            w2 = jax.lax.select(bad, w, w + eff)
-            pk2 = jax.lax.select(split, jax.lax.select(is_lit, 1, 2), 0)
-            plen2 = jax.lax.select(split, length - eff, jnp.int32(0))
-            poff2 = jax.lax.select(split & (~is_lit), off, poff)
-            # a split copy resumes at w=0 next window where only 64 KiB of
-            # history exists: re-check reach against the resume cursor
-            unsup_split = split & (~is_lit) & (off > 65536)
+                sdisp(pos, w, hdr, is_lit, off, bad, eff)
 
-            @pl.when(unsup | unsup_split)
-            def _():
-                ms[_GS_UNSUP] = 1
+                pos2 = jax.lax.select(
+                    bad, pos,
+                    pos + hdr + jax.lax.select(is_lit, eff, jnp.int32(0))
+                )
+                w2 = jax.lax.select(bad, w, w + eff)
+                pk2 = jax.lax.select(split, jax.lax.select(is_lit, 1, 2), 0)
+                plen2 = jax.lax.select(split, length - eff, jnp.int32(0))
+                poff2 = jax.lax.select(split & (~is_lit), off, poff)
+                # a split copy resumes at w=0 next window where only
+                # 64 KiB of history exists: re-check reach against the
+                # resume cursor
+                unsup_split = split & (~is_lit) & (off > 65536)
 
-            return pos2, w2, err | bad, stop | split, pk2, plen2, poff2
+                @pl.when(unsup | unsup_split)
+                def _():
+                    ms[_GS_UNSUP] = 1
 
-        def cond(s):
-            pos, w, err, stop, pk, plen, poff = s
-            return (pos < navail_guard) & (~err) & (~stop) & (w < m)
+                return pos2, w2, err | bad, stop | split, pk2, plen2, poff2
 
-        def tag_round(s):
-            pos, w, err, stop, pk, plen, poff = s
-            pos, w, sp = jax.lax.while_loop(
-                lambda fs: (fs[0] < navail_guard) & (~fs[2]) & (fs[1] < m),
-                fast_step,
-                (pos, w, jnp.bool_(False)),
-            )
-            # sp=True means the cursor sits AT an unconsumed special tag
-            # (bad, split, or a literal straddling the slice) with the
-            # loop bounds still satisfied; resolve exactly that tag.
-            return jax.lax.cond(
-                sp,
-                slow_step,
-                lambda s2: s2,
-                (pos, w, err, stop, pk, plen, poff),
-            )
+            def cond(s):
+                pos, w, err, stop, pk, plen, poff = s
+                return (pos < navail_guard) & (~err) & (~stop) & (w < m)
 
-        pos, w, err, stop, pk, plen, poff = jax.lax.while_loop(
-            cond,
-            tag_round,
-            (pos1, w1, jnp.bool_(False), stop0, pk1, plen1, poff0),
-        )
+            def tag_round(s):
+                pos, w, err, stop, pk, plen, poff = s
+                pos, w, sp = jax.lax.while_loop(
+                    lambda fs: (fs[0] < navail_guard) & (~fs[2])
+                    & (fs[1] < m),
+                    fast_step,
+                    (pos, w, jnp.bool_(False)),
+                )
+                # sp=True means the cursor sits AT an unconsumed special
+                # tag (bad, split, long literal, or a literal straddling
+                # the slice) with the loop bounds still satisfied;
+                # resolve exactly that tag.
+                return jax.lax.cond(
+                    sp,
+                    slow_step,
+                    lambda s2: s2,
+                    (pos, w, err, stop, pk, plen, poff),
+                )
+
+            def run():
+                return jax.lax.while_loop(
+                    cond,
+                    tag_round,
+                    (pos1, w1, jnp.bool_(False), stop0, pk1, plen1, poff0),
+                )
+
+            return run
+
+        pos, w, err, stop, pk, plen, poff = jax.lax.cond(
+            long_mode, make_tag_loop(True), make_tag_loop(False))
 
         pos_t2 = 4 * al + pos
         # stall guard: an active slice that makes no progress while its
@@ -1046,6 +1102,13 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
 
             ms[_GS_WIN] = win + 1
             ms[_GS_W] = 0
+            # adapt the long-literal flag from this window's own ratio
+            # (comp consumed vs bytes produced); one-window lag into and
+            # out of literal-dominated stream regions
+            ms[_GS_LONGF] = jax.lax.select(
+                pos_t2 - ms[_GS_WPOS] >= (m // 10) * 7,
+                jnp.int32(1), jnp.int32(0))
+            ms[_GS_WPOS] = pos_t2
 
         @pl.when(~win_done)
         def _():
@@ -1117,7 +1180,7 @@ def decode_raw_stream_grid(full_words, comp_len, declared,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-        ],
+        ] + emit_long_mod.scratch_shapes(),
         interpret=interpret,
     )(lut, st.reshape(1, 1, 16), full_words)
 
