@@ -31,6 +31,7 @@ import snappy_tpu as s
 from snappy_tpu.ops import encode_scalar as es
 
 IN_WORDS, ENC_WORDS, TABLE_SIZE = es.IN_WORDS, es.ENC_WORDS, es.TABLE_SIZE
+IN_PAD = es.IN_PAD
 _K_HASH, MIN_NON_LITERAL, INPUT_MARGIN = es._K_HASH, es.MIN_NON_LITERAL, es.INPUT_MARGIN
 
 
@@ -316,7 +317,7 @@ def _encode_opt(meta, in_words, nb):
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, IN_WORDS + 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, IN_PAD), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(

@@ -180,7 +180,7 @@ def _make_kernel(cw_pad: int, out_words: int):
         emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(buf_ref)
         parse = scalar_emit.make_parser(lut_ref, buf_ref)
         emit_long = emit_long_mod.make_emit_long(
-            buf_ref, vbuf, hbuf, sems2, sem_h)
+            buf_ref, buf_ref, vbuf, hbuf, sems2, sem_h)
 
         def make_walk(with_long: bool):
             """One full tag walk; the long-literal DMA dispatch costs a

@@ -855,7 +855,7 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
         emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(buf_ref)
         parse = scalar_emit.make_parser(lut_ref, buf_ref)
         emit_long = emit_long_mod.make_emit_long(
-            buf_ref, el_vbuf, el_hbuf, el_sems, el_semh)
+            buf_ref, buf_ref, el_vbuf, el_hbuf, el_sems, el_semh)
         dispatch = scalar_emit.make_tag_dispatch(
             emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS
         )
@@ -896,8 +896,7 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
                 # the remainder is long (service is cold — the check is
                 # free relative to the tag loop)
                 dst_b = G_OUT_BASE_B + w
-                big = ((eff_l >= emit_long_mod.LONG_T)
-                       & (pos >= (dst_b & 4095)))
+                big = eff_l >= emit_long_mod.LONG_T
 
                 @pl.when((eff_l > 0) & (~big))
                 def _():

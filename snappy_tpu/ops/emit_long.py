@@ -105,33 +105,53 @@ def _rotate_bytes_2d(T, byte_shift):
     return pltpu.bitcast(out, jnp.int32)
 
 
-def make_emit_long(buf_ref, vbuf_ref, hbuf_ref, sems, sem_h):
-    """Build emit_long(dst_b, length, src_b) over one unified 1D SMEM
-    buffer.  All arguments are absolute byte offsets into ``buf_ref``.
-    See the module docstring for the contract."""
+def make_emit_long(src_ref, dst_ref, vbuf_ref, hbuf_ref, sems, sem_h,
+                   same_ref: bool = True):
+    """Build emit_long(dst_b, length, src_b): copy ``length`` bytes
+    src_ref[src_b:] -> dst_ref[dst_b:] (byte offsets into each ref).
+
+    src_ref and dst_ref may be the same buffer (the decoders' unified
+    SMEM buffer, same_ref=True) or two disjoint buffers (the encoder's
+    input and output refs, same_ref=False — the direct path then needs
+    no span-distance guard).  The refs may be 1D or ``ref.at[0, 0]``
+    views of (1, 1, N) BlockSpec refs — the VMEM/head scratch must come
+    from the SAME shape family or Mosaic rejects the DMA with a 1D-tile
+    tiling mismatch (measured).
+
+    ``v = src_b - (dst_b % 4096)`` may be NEGATIVE (a long literal right
+    after the stream head, e.g. a whole-block literal whose payload
+    starts at byte <= 4): the source window is then clamped to offset 0
+    and the rotate amount wraps modulo the bucket — the wrapped bytes
+    land only at positions below ``head``, which the head merge
+    overwrites.  See the module docstring for the full contract."""
 
     def emit_long(dst_b, length, src_b):
         d0w = pl.multiple_of((dst_b >> 2) & ~1023, G)
         head = dst_b - 4 * d0w              # bytes to preserve, 0..4095
         v = src_b - head                    # virtual src byte for d0w*4
-        s0w = pl.multiple_of((v >> 2) & ~1023, G)
-        phase = v - 4 * s0w                 # rotate amount, 0..4095 bytes
+        # clamp the source window to the buffer: phase in [-4095, 4095],
+        # negative only when v < 0 (handled by the modular rotate)
+        s0w = pl.multiple_of(jnp.maximum((v >> 2) & ~1023, 0), G)
+        phase = v - 4 * s0w                 # rotate amount, bytes
         lbytes = head + length
         gl = (lbytes + 4095) >> 12          # write granules
-        gs = (phase + lbytes + 4095) >> 12  # read granules (>= gl)
+        gs = (phase + lbytes + 4095) >> 12  # read granules
         # The direct path's depth-2 pipelining lets granule g's read
-        # overlap granule g-1's in-flight write: require the spans at
-        # least 2 granules apart (else take the always-safe rotate
-        # path, whose reads all complete before its first write).
-        direct = (phase == 0) & (head == 0) & (d0w - s0w >= 2 * G)
+        # overlap granule g-1's in-flight write: within one buffer the
+        # spans must be at least 2 granules apart (else take the always-
+        # safe rotate path, whose reads all complete before its first
+        # write).
+        direct = (phase == 0) & (head == 0)
+        if same_ref:
+            direct = direct & (d0w - s0w >= 2 * G)
 
         @pl.when(direct)
         def _():
             # src and dst are both 4 KiB-aligned: straight SMEM->SMEM.
             def dd(g, slot):
                 return pltpu.make_async_copy(
-                    buf_ref.at[pl.ds(pl.multiple_of(s0w + g * G, G), G)],
-                    buf_ref.at[pl.ds(pl.multiple_of(d0w + g * G, G), G)],
+                    src_ref.at[pl.ds(pl.multiple_of(s0w + g * G, G), G)],
+                    dst_ref.at[pl.ds(pl.multiple_of(d0w + g * G, G), G)],
                     sems.at[slot])
 
             dd(jnp.int32(0), 0).start()
@@ -148,17 +168,17 @@ def make_emit_long(buf_ref, vbuf_ref, hbuf_ref, sems, sem_h):
         def _():
             # dst head region -> VMEM for the merge
             cp_h = pltpu.make_async_copy(
-                buf_ref.at[pl.ds(d0w, G)], hbuf_ref, sem_h)
+                dst_ref.at[pl.ds(d0w, G)], hbuf_ref.at[pl.ds(0, G)], sem_h)
             cp_h.start()
             # pre-read the boundary word the write-back will clobber
             wb_lo = dst_b >> 2
             keep_lo = (_I32(1) << ((dst_b & 3) * 8)) - 1
-            old_lo = buf_ref[wb_lo]
+            old_lo = dst_ref[wb_lo]
 
             # inbound granules, depth-2 pipelined on the 2-sem ring
             def in_dma(g, slot):
                 return pltpu.make_async_copy(
-                    buf_ref.at[pl.ds(pl.multiple_of(s0w + g * G, G), G)],
+                    src_ref.at[pl.ds(pl.multiple_of(s0w + g * G, G), G)],
                     vbuf_ref.at[pl.ds(pl.multiple_of(g * G, G), G)],
                     sems.at[slot])
 
@@ -180,12 +200,17 @@ def make_emit_long(buf_ref, vbuf_ref, hbuf_ref, sems, sem_h):
                 def body():
                     T = vbuf_ref[pl.ds(0, bwords)].reshape(
                         bwords // 128, 128)
-                    R = _rotate_bytes_2d(T, phase)
+                    # negative phase (v < 0) wraps modulo the bucket; the
+                    # wrapped bytes all land below `head` and are merged
+                    # away
+                    ph = jax.lax.select(
+                        phase < 0, phase + 4 * bwords, phase)
+                    R = _rotate_bytes_2d(T, ph)
                     iota = (jax.lax.broadcasted_iota(
                         jnp.int32, (8, 128), 0) * 128
                         + jax.lax.broadcasted_iota(
                             jnp.int32, (8, 128), 1))
-                    H = hbuf_ref[...].reshape(8, 128)
+                    H = hbuf_ref[pl.ds(0, G)].reshape(8, 128)
                     merged = jnp.where(iota < hw, H, R[:8, :])
                     vbuf_ref[pl.ds(0, bwords)] = R.reshape(bwords)
                     vbuf_ref[pl.ds(0, G)] = merged.reshape(G)
@@ -201,7 +226,7 @@ def make_emit_long(buf_ref, vbuf_ref, hbuf_ref, sems, sem_h):
             def out_dma(g, slot):
                 return pltpu.make_async_copy(
                     vbuf_ref.at[pl.ds(pl.multiple_of(g * G, G), G)],
-                    buf_ref.at[pl.ds(pl.multiple_of(d0w + g * G, G), G)],
+                    dst_ref.at[pl.ds(pl.multiple_of(d0w + g * G, G), G)],
                     sems.at[slot])
 
             out_dma(jnp.int32(0), 0).start()
@@ -215,7 +240,7 @@ def make_emit_long(buf_ref, vbuf_ref, hbuf_ref, sems, sem_h):
             out_dma(gl - 1, (gl - 1) & 1).wait()
 
             # scalar boundary fix: restore bytes below dst_b in its word
-            new_lo = buf_ref[wb_lo]
-            buf_ref[wb_lo] = (old_lo & keep_lo) | (new_lo & ~keep_lo)
+            new_lo = dst_ref[wb_lo]
+            dst_ref[wb_lo] = (old_lo & keep_lo) | (new_lo & ~keep_lo)
 
     return emit_long

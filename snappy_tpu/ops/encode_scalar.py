@@ -38,17 +38,31 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import emit_long as emit_long_mod
+
 IN_WORDS = 16384  # 65536-byte block
-ENC_WORDS = 19204  # 76816 bytes >= max_compressed_len(65536) + spill pad
+# input slab width: block + slack for the long-literal DMA emitter's
+# granule reads (source span rounds out to 4 KiB on both sides)
+IN_PAD = 18432    # 18 * 1024
+# >= ceil_4k(max_compressed_len(65536) + spill pad): the DMA emitter
+# writes whole 4 KiB granules past the stream tail (repaired/ignored)
+ENC_WORDS = 20480
 TABLE_SIZE = 16384  # max table (2^14 entries, encoder.nim:10-12)
 _K_HASH = 0x1E35A7BD
 MIN_NON_LITERAL = 17
 INPUT_MARGIN = 15
 
 
-def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
+def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
+            el_vbuf, el_hbuf, el_sems, el_semh):
     n = meta_ref[0, 0, 0]
     epoch = pl.program_id(0) + 1
+    # long-literal DMA emitter over the (1, 1, N) block views; the VMEM
+    # scratch shares the shape family (Mosaic rejects cross-tiling DMA)
+    emit_long = emit_long_mod.make_emit_long(
+        in_ref.at[0, 0], enc_ref.at[0, 0],
+        el_vbuf.at[0, 0], el_hbuf.at[0, 0], el_sems, el_semh,
+        same_ref=False)
 
     # One-time table clear (entries are epoch-checked afterwards).
     @pl.when(pl.program_id(0) == 0)
@@ -115,6 +129,14 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
 
         @pl.when(length > 8)
         def _():
+            # >= LONG_T payloads (whole-block literals on incompressible
+            # data, pdf-style long literals) ride the DMA+rotate emitter.
+            # The check lives INSIDE the >8 branch and reuses the two
+            # existing pl.when arms, so short literals (<= 8, the text
+            # majority) see zero extra branches — a per-literal pl.when
+            # pair measured -4..-7% on text encode (branches cost ~15 ns
+            # on the in-order scalar pipeline, e15).
+            long = length >= emit_long_mod.LONG_T
             o0 = (((dst0 + 8) >> 2) << 2) - dst0  # aligned restart, [5, 8]
             rem = length - o0
             wi0 = (dst0 + o0) >> 2
@@ -123,7 +145,7 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
             sh2 = (s0 & 3) * 8
             mm2 = (jnp.int32(1) << (32 - sh2)) - 1
 
-            @pl.when(sh2 == 0)
+            @pl.when((~long) & (sh2 == 0))
             def _():
                 def body(st):
                     k, wo, si = st
@@ -135,7 +157,7 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
                     lambda st: st[0] < rem, body, (jnp.int32(0), wi0, sw2)
                 )
 
-            @pl.when(sh2 != 0)
+            @pl.when((~long) & (sh2 != 0))
             def _():
                 def body(st):
                     k, wo, si, carry = st
@@ -154,6 +176,12 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref):
                     body,
                     (jnp.int32(0), wi0, sw2 + 1, in_ref[0, 0, sw2]),
                 )
+
+            @pl.when(long)
+            def _():
+                # the 8-byte head above already wrote [dst0, dst0+8);
+                # the emitter rewrites the whole span (same bytes)
+                emit_long(dst0, length, src0)
 
     def emit_literal(op, src0, length):
         """Literal tag + payload (encoder.nim:44-79).  Returns new op.
@@ -417,7 +445,7 @@ def _call(meta, in_words, nb: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, IN_WORDS + 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, IN_PAD), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_specs=(
@@ -430,7 +458,13 @@ def _call(meta, in_words, nb: int, interpret: bool):
             jax.ShapeDtypeStruct((nb, 1, ENC_WORDS), jnp.int32),
             jax.ShapeDtypeStruct((nb, 1, 1), jnp.int32),
         ),
-        scratch_shapes=[pltpu.SMEM((TABLE_SIZE,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((TABLE_SIZE,), jnp.int32),
+            pltpu.VMEM((1, 1, emit_long_mod.VB_WORDS), jnp.int32),
+            pltpu.VMEM((1, 1, emit_long_mod.HB_WORDS), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(meta, in_words)
 
@@ -444,7 +478,7 @@ def encode_blocks_words(meta, in_words, nb: int, interpret=None):
     """Encode ``nb`` independent <= 64 KiB blocks to raw tag streams.
 
     meta: int32 [nb, 1, 1] — block length per chunk
-    in_words: int32 [nb, 1, IN_WORDS + 4] — packed LE bytes, zero-padded
+    in_words: int32 [nb, 1, IN_PAD] — packed LE bytes, zero-padded
     Returns (enc_words [nb, 1, ENC_WORDS], enc_len [nb, 1, 1]).
     """
     if interpret is None:
@@ -457,7 +491,7 @@ def encode_blocks_words(meta, in_words, nb: int, interpret=None):
 def pack_blocks(blocks):
     """Pack byte blocks into the kernel layout."""
     nb = len(blocks)
-    arr = np.zeros((nb, 1, 4 * (IN_WORDS + 4)), dtype=np.uint8)
+    arr = np.zeros((nb, 1, 4 * IN_PAD), dtype=np.uint8)
     meta = np.zeros((nb, 1, 1), dtype=np.int32)
     for k, b in enumerate(blocks):
         a = np.frombuffer(b, dtype=np.uint8)

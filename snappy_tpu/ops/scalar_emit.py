@@ -271,8 +271,6 @@ def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
     the TPU analog of the reference's length-specialized fast paths
     (decoder.nim:117-125).  Only literals can be long: every encoder
     splits copies at 64 bytes and the tag LUT caps copy lengths at 64.
-    The ``src >= dst % 4096`` guard falls back to the word loop when
-    the virtual source would precede the buffer.
 
     dispatch(pos, w, hdr, is_lit, off, suppress, eff):
       suppress — tag must not emit for real
@@ -302,16 +300,6 @@ def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
         if emit_long is not None:
             @pl.when(long_lit)
             def _():
-                dst_b = out_base_b + w
-                src_b = pos + hdr
-                v_ok = src_b >= (dst_b & 4095)
-
-                @pl.when(v_ok)
-                def _():
-                    emit_long(dst_b, eff, src_b)
-
-                @pl.when(~v_ok)
-                def _():  # virtual source would precede the buffer
-                    emit_mem(dst_b, eff, src_b, jnp.bool_(True))
+                emit_long(out_base_b + w, eff, pos + hdr)
 
     return dispatch
