@@ -401,6 +401,34 @@ def bench_device(datasets):
             f" one dispatch): {1e3*stream_t:.0f} ms "
             f"({bdecl/stream_t/1e6:.1f} MB/s)"
         )
+
+        # Incompressible raw stream: whole-block literals ride the
+        # long-literal DMA emitter (ops/emit_long.py) instead of the
+        # scalar word loop — the >= 2 GB/s/chip decompress class.
+        rng_inc = np.random.default_rng(11)
+        inc = rng_inc.integers(0, 256, size=48 * 1024 * 1024,
+                               dtype=np.uint8).tobytes()
+        inc_enc = engine.raw_compress(inc, backend="host") or b""
+        idecl, iread = varint.decode_uint32(inc_enc)
+        ibody = inc_enc[iread:]
+        iwords_b, i_win, i_steps = decode_stream._grid_shapes(
+            len(ibody), idecl
+        )
+        ibuf = np.zeros((iwords_b * 4,), dtype=np.uint8)
+        ibuf[: len(ibody)] = np.frombuffer(ibody, np.uint8)
+        diwords = jax.device_put(jnp.asarray(ibuf.view(np.int32)))
+        inc_t = pipelined_time(
+            lambda: decode_stream.decode_raw_stream_grid(
+                diwords, jnp.int32(len(ibody)), jnp.int32(idecl),
+                i_win, i_steps, False
+            ),
+            samples=3,
+        )
+        log(
+            f"device raw stream decode (48 MB incompressible, DMA"
+            f" long-literal path): {1e3*inc_t:.1f} ms "
+            f"({idecl/inc_t/1e9:.2f} GB/s)"
+        )
     else:
         dev_framed_dec_mbps = 0.0
         arr = np.frombuffer(data, dtype=np.uint8)
