@@ -182,15 +182,25 @@ def _make_kernel(cw_pad: int, out_words: int):
         emit_long = emit_long_mod.make_emit_long(
             buf_ref, buf_ref, vbuf, hbuf, sems2, sem_h)
 
-        def make_walk(with_long: bool):
-            """One full tag walk; the long-literal DMA dispatch costs a
-            few ops per tag, so it is instantiated as a separate walk
-            selected per CHUNK (below), never paid by text chunks."""
+        def make_walk(with_long: bool, with_runs: bool = False):
+            """One full tag walk.  The long-literal DMA dispatch and the
+            copy-run coalescer each cost a few ops per tag, so they are
+            instantiated as separate walks selected per CHUNK (below) —
+            text chunks pay zero per-tag cost for either."""
             dispatch = scalar_emit.make_tag_dispatch(
                 emit_mem, do_copy_near, out_base_b, scr_b, BUF_CAP,
                 emit_long=emit_long if with_long else None,
                 long_t=emit_long_mod.LONG_T,
             )
+
+            def load24(p):
+                w0 = buf_ref[p >> 2]
+                w1 = buf_ref[(p >> 2) + 1]
+                sh = (p & 3) * 8
+                lo = (w0 >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
+                full = jax.lax.select(
+                    sh == 0, w0, lo | (w1 << (32 - sh)))
+                return full & 0xFFFFFF
 
             def tag_step(state):
                 pos, w, err = state
@@ -207,10 +217,45 @@ def _make_kernel(cw_pad: int, out_words: int):
                 bad |= length > m - w
                 bad |= (~is_lit) & ((off <= 0) | (off > w))
 
-                dispatch(pos, w, hdr, is_lit, off, bad, length)
+                if with_runs:
+                    # Long matches are emitted by every encoder as runs
+                    # of byte-identical max-length copy tags (tagCopy2
+                    # len-64 = 0xFE, emit_copy's 68/64 splitting,
+                    # encoder.nim:96-111): coalesce the run into ONE
+                    # emit.  Each coalesced tag costs ~10 ops instead of
+                    # the ~100-op full parse/dispatch round.
+                    run = (b == jnp.int32(0xFE)) & (~bad)
+
+                    def count(_):
+                        t24 = load24(pos)
+
+                        def body(st):
+                            p2, k, go = st
+                            ok = (p2 + 3 <= n) & (w + 64 * (k + 2) <= m)
+                            same = ok & (load24(p2) == t24)
+                            return (
+                                jax.lax.select(same, p2 + 3, p2),
+                                k + jax.lax.select(
+                                    same, jnp.int32(1), jnp.int32(0)),
+                                same,
+                            )
+
+                        _, k, _ = jax.lax.while_loop(
+                            lambda st: st[2], body,
+                            (pos + 3, jnp.int32(0), jnp.bool_(True)))
+                        return k
+
+                    k = jax.lax.cond(
+                        run, count, lambda _: jnp.int32(0), 0)
+                    eff = length + 64 * k
+                    consumed = consumed + 3 * k
+                else:
+                    eff = length
+
+                dispatch(pos, w, hdr, is_lit, off, bad, eff)
 
                 pos2 = jax.lax.select(bad, pos, pos + consumed)
-                w2 = jax.lax.select(bad, w, w + length)
+                w2 = jax.lax.select(bad, w, w + eff)
                 return pos2, w2, err | bad
 
             def cond(state):
@@ -224,14 +269,21 @@ def _make_kernel(cw_pad: int, out_words: int):
 
             return walk
 
-        # Long literals (>= LONG_T) only exist in literal-dominated
-        # chunks, and those are exactly the high-compression-ratio ones
-        # (jpeg ~1.0, pdf ~0.87 vs text <= 0.6 per 64 KiB block): pick
-        # the walk once per chunk from the n/m ratio, so text chunks pay
-        # zero per-tag cost for the DMA fast path.
+        # Pick the walk once per chunk from the n/m ratio, so text
+        # chunks pay zero per-tag cost for either fast path:
+        # * long literals (>= LONG_T) only exist in literal-dominated
+        #   chunks = the high-ratio ones (jpeg ~1.0, pdf ~0.87 vs text
+        #   <= 0.6 per 64 KiB block);
+        # * identical-copy-tag runs (long matches) dominate exactly the
+        #   very-low-ratio chunks (RLE ~0.05, repeated content ~0.1 vs
+        #   text >= 0.2).
         long_chunk = (10 * n >= 7 * m) & (m >= emit_long_mod.LONG_T)
-        pos, w, err = jax.lax.cond(
-            long_chunk, make_walk(True), make_walk(False))
+        run_chunk = (5 * n <= m) & (~long_chunk)
+        idx = (jax.lax.select(long_chunk, jnp.int32(1), jnp.int32(0))
+               + jax.lax.select(run_chunk, jnp.int32(2), jnp.int32(0)))
+        pos, w, err = jax.lax.switch(
+            idx, [make_walk(False), make_walk(True),
+                  make_walk(False, with_runs=True)])
         ok = (~err) & (pos == n) & (w == m)
         status_ref[0, 0, 0] = jax.lax.select(ok, jnp.int32(1), jnp.int32(0))
         status_ref[0, 0, 1] = w

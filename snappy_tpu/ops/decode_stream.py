@@ -805,13 +805,15 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             return c
 
         jax.lax.fori_loop(0, 16, cpst, 0)
-        # seed the long-literal flag from the stream's global ratio; the
-        # per-window update below keeps it adaptive (declared // 10 * 7
-        # avoids int32 overflow on multi-GB streams)
+        # seed the walk-mode flag from the stream's global ratio (0
+        # plain / 1 long-literal / 2 copy-runs); the per-window update
+        # below keeps it adaptive (declared // 10 * 7 avoids int32
+        # overflow on multi-GB streams)
+        cl0 = st_ref[0, 0, _GI_COMP_LEN]
+        dc0 = st_ref[0, 0, _GI_DECLARED]
         ms[_GS_LONGF] = jax.lax.select(
-            st_ref[0, 0, _GI_COMP_LEN]
-            >= (st_ref[0, 0, _GI_DECLARED] // 10) * 7,
-            jnp.int32(1), jnp.int32(0))
+            cl0 >= (dc0 // 10) * 7, jnp.int32(1),
+            jax.lax.select(cl0 <= dc0 // 5, jnp.int32(2), jnp.int32(0)))
 
     comp_len = st_ref[0, 0, _GI_COMP_LEN]
     declared = st_ref[0, 0, _GI_DECLARED]
@@ -863,7 +865,6 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS,
             emit_long=emit_long, long_t=emit_long_mod.LONG_T,
         )
-        long_mode = ms[_GS_LONGF] == 1
         _TRUE = jnp.bool_(True)
 
         def do_copy(w, off, length):
@@ -947,12 +948,22 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             more, navail - jnp.int32(MARGIN - 1), navail
         )
 
-        def make_tag_loop(with_long: bool):
-            """The whole fast/slow tag-loop machinery, instantiated twice
-            and selected per WINDOW by the adaptive ratio flag: the long
-            variant routes >= LONG_T literals through `special` to the
-            slow step's DMA emitter; the plain variant is byte-for-byte
-            the round-2 loop, so text windows pay zero per-tag cost."""
+        def load24(p):
+            w0 = buf_ref[p >> 2]
+            w1 = buf_ref[(p >> 2) + 1]
+            sh = (p & 3) * 8
+            lo = (w0 >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
+            return jax.lax.select(
+                sh == 0, w0, lo | (w1 << (32 - sh))) & 0xFFFFFF
+
+        def make_tag_loop(with_long: bool, with_runs: bool = False):
+            """The whole fast/slow tag-loop machinery, instantiated three
+            times and selected per WINDOW by the adaptive ratio flag:
+            the long variant routes >= LONG_T literals through `special`
+            to the slow step's DMA emitter; the runs variant coalesces
+            identical max-length copy tags (long matches); the plain
+            variant is byte-for-byte the round-2 loop, so text windows
+            pay zero per-tag cost."""
             sdisp = dispatch_long if with_long else dispatch
 
             def fast_step(s):
@@ -969,11 +980,46 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
                 if with_long:
                     special |= is_lit & (length >= emit_long_mod.LONG_T)
 
-                dispatch(pos, w, hdr, is_lit, off, special, length)
+                if with_runs:
+                    # coalesce runs of byte-identical tagCopy2-len-64
+                    # tags (0xFE — the wire shape of long matches,
+                    # encoder.nim:96-111) into one emit
+                    run = (b == jnp.int32(0xFE)) & (~special)
 
-                adv = pos + hdr + jax.lax.select(is_lit, length, jnp.int32(0))
+                    def count(_):
+                        t24 = load24(pos)
+
+                        def body(st):
+                            p2, k, go = st
+                            ok = ((p2 + 3 <= navail)
+                                  & (w + 64 * (k + 2) <= m))
+                            same = ok & (load24(p2) == t24)
+                            return (
+                                jax.lax.select(same, p2 + 3, p2),
+                                k + jax.lax.select(
+                                    same, jnp.int32(1), jnp.int32(0)),
+                                same,
+                            )
+
+                        _, k, _ = jax.lax.while_loop(
+                            lambda st: st[2], body,
+                            (pos + 3, jnp.int32(0), jnp.bool_(True)))
+                        return k
+
+                    k = jax.lax.cond(
+                        run, count, lambda _: jnp.int32(0), 0)
+                    eff = length + 64 * k
+                    extra = 3 * k
+                else:
+                    eff = length
+                    extra = 0
+
+                dispatch(pos, w, hdr, is_lit, off, special, eff)
+
+                adv = (pos + hdr + extra
+                       + jax.lax.select(is_lit, length, jnp.int32(0)))
                 pos2 = jax.lax.select(special, pos, adv)
-                w2 = jax.lax.select(special, w, w + length)
+                w2 = jax.lax.select(special, w, w + eff)
                 return pos2, w2, special
 
             def slow_step(s):
@@ -1063,8 +1109,10 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
 
             return run
 
-        pos, w, err, stop, pk, plen, poff = jax.lax.cond(
-            long_mode, make_tag_loop(True), make_tag_loop(False))
+        pos, w, err, stop, pk, plen, poff = jax.lax.switch(
+            jnp.clip(ms[_GS_LONGF], 0, 2),
+            [make_tag_loop(False), make_tag_loop(True),
+             make_tag_loop(False, with_runs=True)])
 
         pos_t2 = 4 * al + pos
         # stall guard: an active slice that makes no progress while its
@@ -1101,12 +1149,13 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
 
             ms[_GS_WIN] = win + 1
             ms[_GS_W] = 0
-            # adapt the long-literal flag from this window's own ratio
+            # adapt the walk-mode flag from this window's own ratio
             # (comp consumed vs bytes produced); one-window lag into and
-            # out of literal-dominated stream regions
+            # out of literal-dominated / long-match stream regions
+            cw = pos_t2 - ms[_GS_WPOS]
             ms[_GS_LONGF] = jax.lax.select(
-                pos_t2 - ms[_GS_WPOS] >= (m // 10) * 7,
-                jnp.int32(1), jnp.int32(0))
+                cw >= (m // 10) * 7, jnp.int32(1),
+                jax.lax.select(5 * cw <= m, jnp.int32(2), jnp.int32(0)))
             ms[_GS_WPOS] = pos_t2
 
         @pl.when(~win_done)

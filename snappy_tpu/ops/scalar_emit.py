@@ -289,7 +289,9 @@ def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
         src = jax.lax.select(is_lit, pos + hdr, out_base_b + w - off)
         src = jnp.clip(src, 0, jnp.int32(4 * (buf_cap_words - 4)))
         dst = jax.lax.select(redirect, jnp.int32(scr_b), out_base_b + w)
-        ln_eff = jax.lax.select(suppress | long_lit, jnp.int32(4), eff)
+        # every redirected emit is a dead store: clamp it to 4 bytes
+        # (coalesced near-copy runs make eff arbitrarily large)
+        ln_eff = jax.lax.select(redirect, jnp.int32(4), eff)
         carry_ok = is_lit | (off >= 8) | redirect
         emit_mem(dst, ln_eff, src, carry_ok)
 

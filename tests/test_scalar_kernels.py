@@ -528,3 +528,47 @@ class TestLongLiteralDMAEmit:
         body += self._lit(r.randbytes(12000)) + self._copy2(2, 17)
         body += self._lit(r.randbytes(9000))
         self._check(body)
+
+
+class TestCopyRunCoalescing:
+    """Runs of byte-identical max-length copy tags (the wire shape of
+    long matches) coalesce into one emit in the low-ratio walk; these
+    pin the coalescer against the oracle for near (pattern) and far
+    (memcpy) offsets, window caps, and the gate-off case."""
+
+    def _check_chunk(self, payload):
+        body = _tag_stream(payload)
+        meta, comp = decode_scalar.pack_chunks([body], [len(payload)])
+        out_w, status = decode_scalar.decode_chunks_words(
+            meta, comp, 1, interpret=True)
+        status = np.asarray(status)
+        assert bool(status[0, 0, 0])
+        got = decode_scalar.unpack_output(np.asarray(out_w),
+                                          status[:, 0, 1])[0]
+        assert got == payload
+
+    def test_rle_near_offset_run(self):
+        self._check_chunk(b"\xab" * 50000)          # off-1 pattern run
+
+    def test_rle_off2_and_off3_runs(self):
+        self._check_chunk(b"ab" * 25000)
+        self._check_chunk(b"abc" * 16000)
+
+    def test_far_offset_run(self):
+        # period-128 content: long matches at off=128 -> far-copy runs
+        self._check_chunk((bytes(range(128)) * 400)[:48000])
+
+    def test_run_interrupted_by_literals(self):
+        r = random.Random(21)
+        payload = (b"\x55" * 20000 + r.randbytes(200) + b"\x77" * 20000
+                   + r.randbytes(64) + bytes(range(64)) * 300)
+        self._check_chunk(payload)
+
+    def test_grid_rle_and_far_runs(self):
+        from snappy_tpu.ops import decode_stream
+        for payload in (b"\xcd" * 300000,
+                        (bytes(range(128)) * 2500)[:280000]):
+            body = _tag_stream(payload)
+            out, reason = decode_stream.decode_raw_stream_bytes(
+                body, len(payload), mode="grid", interpret=True)
+            assert reason == "ok" and out == payload
