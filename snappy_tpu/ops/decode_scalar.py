@@ -177,10 +177,13 @@ def _make_kernel(cw_pad: int, out_words: int):
         copy_in.wait()
 
         BUF_CAP = cw_pad + out_words + SCR_WORDS
-        emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(buf_ref)
+        emit_mem, _, do_copy_near, gbyte, _ = scalar_emit.make_emit_ops(
+            buf_ref)
         parse = scalar_emit.make_parser(lut_ref, buf_ref)
         emit_long = emit_long_mod.make_emit_long(
             buf_ref, buf_ref, vbuf, hbuf, sems2, sem_h)
+        emit_fill = emit_long_mod.make_emit_fill(
+            buf_ref, vbuf, hbuf, sems2, sem_h)
 
         def make_walk(with_long: bool, with_runs: bool = False):
             """One full tag walk.  The long-literal DMA dispatch and the
@@ -191,6 +194,7 @@ def _make_kernel(cw_pad: int, out_words: int):
                 emit_mem, do_copy_near, out_base_b, scr_b, BUF_CAP,
                 emit_long=emit_long if with_long else None,
                 long_t=emit_long_mod.LONG_T,
+                emit_fill=emit_fill if with_runs else None, gbyte=gbyte,
             )
 
             def load24(p):

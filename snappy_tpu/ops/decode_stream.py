@@ -854,16 +854,23 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
         more = (4 * al + navail) < comp_len
         m = jnp.minimum(jnp.int32(65536), declared - base_w)
 
-        emit_mem, _, do_copy_near, _, _ = scalar_emit.make_emit_ops(buf_ref)
+        emit_mem, _, do_copy_near, gbyte_g, _ = scalar_emit.make_emit_ops(
+            buf_ref)
         parse = scalar_emit.make_parser(lut_ref, buf_ref)
         emit_long = emit_long_mod.make_emit_long(
             buf_ref, buf_ref, el_vbuf, el_hbuf, el_sems, el_semh)
+        emit_fill = emit_long_mod.make_emit_fill(
+            buf_ref, el_vbuf, el_hbuf, el_sems, el_semh)
         dispatch = scalar_emit.make_tag_dispatch(
             emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS
         )
         dispatch_long = scalar_emit.make_tag_dispatch(
             emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS,
             emit_long=emit_long, long_t=emit_long_mod.LONG_T,
+        )
+        dispatch_runs = scalar_emit.make_tag_dispatch(
+            emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS,
+            emit_fill=emit_fill, gbyte=gbyte_g,
         )
         _TRUE = jnp.bool_(True)
 
@@ -965,6 +972,7 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             variant is byte-for-byte the round-2 loop, so text windows
             pay zero per-tag cost."""
             sdisp = dispatch_long if with_long else dispatch
+            fdisp = dispatch_runs if with_runs else dispatch
 
             def fast_step(s):
                 pos, w, _ = s
@@ -1014,7 +1022,7 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
                     eff = length
                     extra = 0
 
-                dispatch(pos, w, hdr, is_lit, off, special, eff)
+                fdisp(pos, w, hdr, is_lit, off, special, eff)
 
                 adv = (pos + hdr + extra
                        + jax.lax.select(is_lit, length, jnp.int32(0)))

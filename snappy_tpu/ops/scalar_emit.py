@@ -253,7 +253,7 @@ def make_parser(lut_ref, buf_ref):
 
 def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
                       buf_cap_words: int, emit_long=None,
-                      long_t: int = 4096):
+                      long_t: int = 4096, emit_fill=None, gbyte=None):
     """The shared redirect-emit idiom used by every tag loop.
 
     One branchless ``emit_mem`` serves literals and far copies alike;
@@ -297,7 +297,34 @@ def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
 
         @pl.when(near)
         def _():
-            do_copy_near(out_base_b + w, off, eff)
+            if emit_fill is not None:
+                # coalesced near-copy runs (RLE class): offsets 1/2 fill
+                # with ONE word value per aligned position (the byte
+                # period divides 4) — VPU broadcast + granule DMA
+                # (ops/emit_long.make_emit_fill) instead of the 2-words-
+                # per-iteration scalar pattern loop.  Cold branch: only
+                # the low-ratio runs walk passes emit_fill.
+                dst_b = out_base_b + w
+                big = (eff >= long_t) & (off < 3)
+
+                @pl.when(big)
+                def _():
+                    b0 = gbyte(dst_b - off)
+                    b1 = gbyte(dst_b - off + (off >> 1))
+                    pat1 = b0 * jnp.int32(0x01010101)
+                    pat2 = b0 | (b1 << 8) | (b0 << 16) | (b1 << 24)
+                    pat2s = b1 | (b0 << 8) | (b1 << 16) | (b0 << 24)
+                    s_par = (dst_b - off) & 1
+                    wpat = jax.lax.select(
+                        off == 1, pat1,
+                        jax.lax.select(s_par == 0, pat2, pat2s))
+                    emit_fill(dst_b, eff, wpat)
+
+                @pl.when(~big)
+                def _():
+                    do_copy_near(dst_b, off, eff)
+            else:
+                do_copy_near(out_base_b + w, off, eff)
 
         if emit_long is not None:
             @pl.when(long_lit)
