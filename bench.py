@@ -429,6 +429,30 @@ def bench_device(datasets):
             f" long-literal path): {1e3*inc_t:.1f} ms "
             f"({idecl/inc_t/1e9:.2f} GB/s)"
         )
+
+        # RLE-class stream: coalesced copy runs + VPU pattern fill.
+        rle = (b"\xab" * 997 + b"xyz" + b"\x00" * 1501) * 19200  # 48 MB
+        rle_enc = engine.raw_compress(rle, backend="host") or b""
+        rdecl, rread = varint.decode_uint32(rle_enc)
+        rbody = rle_enc[rread:]
+        rwords_b, r_win, r_steps = decode_stream._grid_shapes(
+            len(rbody), rdecl
+        )
+        rbuf = np.zeros((rwords_b * 4,), dtype=np.uint8)
+        rbuf[: len(rbody)] = np.frombuffer(rbody, np.uint8)
+        drwords = jax.device_put(jnp.asarray(rbuf.view(np.int32)))
+        rle_t = pipelined_time(
+            lambda: decode_stream.decode_raw_stream_grid(
+                drwords, jnp.int32(len(rbody)), jnp.int32(rdecl),
+                r_win, r_steps, False
+            ),
+            samples=3,
+        )
+        log(
+            f"device raw stream decode (48 MB RLE, coalesced runs +"
+            f" pattern fill): {1e3*rle_t:.1f} ms "
+            f"({rdecl/rle_t/1e9:.2f} GB/s)"
+        )
     else:
         dev_framed_dec_mbps = 0.0
         arr = np.frombuffer(data, dtype=np.uint8)
