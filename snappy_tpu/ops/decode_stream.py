@@ -787,8 +787,10 @@ _GS_ERR = 6
 _GS_DONE = 7
 _GS_UNSUP = 8
 _GS_ALP = 9       # aligned comp-slice cursor currently resident in SMEM
-_GS_LONGF = 10    # 1: this window takes the long-literal tag loop
+_GS_LONGF = 10    # walk mode: 0 plain / 1 long-literal / 2 copy-runs
 _GS_WPOS = 11     # comp cursor at the current window's start
+_GS_ODMA = 12     # 1: previous window's out->HBM flush still in flight
+_GS_HDMA = 13     # 1: previous window's out->history copy in flight
 
 
 def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
@@ -829,24 +831,58 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
     base_w = win * jnp.int32(65536)   # output bytes before this window
     written_in = base_w + w_in
     active = (~err_in) & (~done_in) & ((written_in < declared) | (pk0 > 0))
+    al_cur = pl.multiple_of(((pos_t >> 2) >> 10) << 10, 1024)
+
+    # ---- deferred waits for the previous window's flush DMAs ----
+    # The out->HBM and out->history copies start at the previous step's
+    # end and overlap that step's epilogue + this step's comp fetch; the
+    # waits run UNCONDITIONALLY (inactive steps too, so a flush pending
+    # at `done` still completes before the kernel returns — the step
+    # budget leaves >= 2 spare steps) and precede every out-window write.
+    @pl.when(active & ((g == 0) | (al_cur != ms[_GS_ALP])))
+    def _():
+        pltpu.make_async_copy(
+            comp_hbm.at[pl.ds(al_cur, G_SCB)],
+            buf_ref.at[pl.ds(0, G_SCB)],
+            sem_c,
+        ).start()
+
+    @pl.when(ms[_GS_ODMA] == 1)
+    def _():
+        pw = ms[_GS_WIN] - 1
+        pltpu.make_async_copy(
+            buf_ref.at[pl.ds(G_SCB + G_HIST, OW_WORDS)],
+            out_hbm.at[pl.ds(pl.multiple_of(pw * OW_WORDS, 1024),
+                             OW_WORDS)],
+            sem_o,
+        ).wait()
+        ms[_GS_ODMA] = 0
+
+    @pl.when(ms[_GS_HDMA] == 1)
+    def _():
+        pltpu.make_async_copy(
+            buf_ref.at[pl.ds(G_SCB + G_HIST, OW_WORDS)],
+            buf_ref.at[pl.ds(G_SCB, G_HIST)],
+            sem_h,
+        ).wait()
+        ms[_GS_HDMA] = 0
 
     @pl.when(active)
     def _():
         # ---- bring the comp slice at the cursor into SMEM ----
-        # (skipped when the aligned cursor is unchanged from the previous
-        # step — high-ratio streams decode many windows per slice, and
-        # nothing overwrites the comp region between steps)
-        al = pl.multiple_of(((pos_t >> 2) >> 10) << 10, 1024)
+        # (started above, overlapped with the flush waits; skipped when
+        # the aligned cursor is unchanged from the previous step —
+        # high-ratio streams decode many windows per slice, and nothing
+        # overwrites the comp region between steps)
+        al = al_cur
 
         @pl.when((g == 0) | (al != ms[_GS_ALP]))
         def _():
-            dma_c = pltpu.make_async_copy(
+            pltpu.make_async_copy(
                 comp_hbm.at[pl.ds(al, G_SCB)],
                 buf_ref.at[pl.ds(0, G_SCB)],
                 sem_c,
-            )
-            dma_c.start()
-            dma_c.wait()
+            ).wait()
             ms[_GS_ALP] = al
 
         start = pos_t - 4 * al                      # in [0, 4096)
@@ -1134,26 +1170,26 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
         def _():
             # flush the finished window to its HBM slot (full window DMA;
             # for the final partial window the bytes past `declared` are
-            # dead padding the wrapper never reads)
-            dma_o = pltpu.make_async_copy(
+            # dead padding the wrapper never reads).  Both flushes only
+            # START here — the next step waits them before its first
+            # out-window write, overlapping them with its comp fetch.
+            pltpu.make_async_copy(
                 buf_ref.at[pl.ds(G_SCB + G_HIST, OW_WORDS)],
                 out_hbm.at[pl.ds(pl.multiple_of(win * OW_WORDS, 1024),
                                  OW_WORDS)],
                 sem_o,
-            )
-            dma_o.start()
-            dma_o.wait()
+            ).start()
+            ms[_GS_ODMA] = 1
 
             # out -> history (only full 64 KiB windows feed later copies)
             @pl.when(m == 65536)
             def _():
-                dma_h = pltpu.make_async_copy(
+                pltpu.make_async_copy(
                     buf_ref.at[pl.ds(G_SCB + G_HIST, OW_WORDS)],
                     buf_ref.at[pl.ds(G_SCB, G_HIST)],
                     sem_h,
-                )
-                dma_h.start()
-                dma_h.wait()
+                ).start()
+                ms[_GS_HDMA] = 1
 
             ms[_GS_WIN] = win + 1
             ms[_GS_W] = 0
