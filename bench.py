@@ -431,7 +431,7 @@ def bench_device(datasets):
         )
 
         # RLE-class stream: coalesced copy runs + VPU pattern fill.
-        rle = (b"\xab" * 997 + b"xyz" + b"\x00" * 1501) * 19200  # 48 MB
+        rle = b"j" * (48 * 1024 * 1024)
         rle_enc = engine.raw_compress(rle, backend="host") or b""
         rdecl, rread = varint.decode_uint32(rle_enc)
         rbody = rle_enc[rread:]
