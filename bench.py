@@ -349,6 +349,23 @@ def bench_device(datasets):
             f"{1e3*henc_t:.1f} ms ({htotal/henc_t/1e6:.1f} MB/s)"
         )
 
+        # incompressible blocks: the encoder's whole-block literal
+        # payloads ride the DMA emitter (ops/emit_long.py)
+        rng_ie = np.random.default_rng(5)
+        iblocks = [rng_ie.integers(0, 256, size=65536, dtype=np.uint8)
+                   .tobytes() for _ in range(NB)]
+        iem, iin = encode_scalar.pack_blocks(iblocks)
+        diem, diin = jax.device_put(iem), jax.device_put(iin)
+        ienc_t = pipelined_time(
+            lambda: encode_scalar.encode_blocks_words(diem, diin, NB),
+            samples=3,
+        )
+        log(
+            f"device block encode (incompressible x{NB}, DMA literal"
+            f" emitter): {1e3*ienc_t:.1f} ms "
+            f"({NB*65536/ienc_t/1e6:.1f} MB/s)"
+        )
+
         emeta, inw = encode_scalar.pack_blocks(blocks128)
         dem, din = jax.device_put(emeta), jax.device_put(inw)
         enc_t = pipelined_time(

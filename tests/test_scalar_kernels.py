@@ -572,3 +572,26 @@ class TestCopyRunCoalescing:
             out, reason = decode_stream.decode_raw_stream_bytes(
                 body, len(payload), mode="grid", interpret=True)
             assert reason == "ok" and out == payload
+
+    def test_off2_fill_odd_parity(self):
+        # a 1-byte prefix shifts the pattern-origin parity: the fill
+        # word must follow the (dst - off) & 1 phase
+        self._check_chunk(b"x" + b"ab" * 25000)
+        self._check_chunk(b"xy" + b"ba" * 25000 + b"tail")
+
+    def test_grid_class_transitions(self):
+        # text -> incompressible -> RLE -> text sections, multi-window
+        # each: exercises the 3-state walk flag switching (with its
+        # 1-window lag) and the deferred window flushes across modes
+        from snappy_tpu.ops import decode_stream
+        r = random.Random(33)
+        text = (b"the quick brown fox jumps over the lazy dog. " * 40
+                + b"she sells sea shells by the sea shore. " * 30)
+        payload = (text * 60                       # ~2 windows of text
+                   + r.randbytes(200000)           # ~3 windows incomp
+                   + b"\x00" * 220000              # ~3 windows RLE
+                   + text * 60)[: 8 * 65536 + 12345]
+        body = _tag_stream(payload)
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            body, len(payload), mode="grid", interpret=True)
+        assert reason == "ok" and out == payload
