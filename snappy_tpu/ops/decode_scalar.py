@@ -197,14 +197,7 @@ def _make_kernel(cw_pad: int, out_words: int):
                 emit_fill=emit_fill if with_runs else None, gbyte=gbyte,
             )
 
-            def load24(p):
-                w0 = buf_ref[p >> 2]
-                w1 = buf_ref[(p >> 2) + 1]
-                sh = (p & 3) * 8
-                lo = (w0 >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
-                full = jax.lax.select(
-                    sh == 0, w0, lo | (w1 << (32 - sh)))
-                return full & 0xFFFFFF
+            lookahead = scalar_emit.make_run_lookahead(buf_ref)
 
             def tag_step(state):
                 pos, w, err = state
@@ -222,37 +215,20 @@ def _make_kernel(cw_pad: int, out_words: int):
                 bad |= (~is_lit) & ((off <= 0) | (off > w))
 
                 if with_runs:
-                    # Long matches are emitted by every encoder as runs
-                    # of byte-identical max-length copy tags (tagCopy2
-                    # len-64 = 0xFE, emit_copy's 68/64 splitting,
-                    # encoder.nim:96-111): coalesce the run into ONE
-                    # emit.  Each coalesced tag costs ~10 ops instead of
-                    # the ~100-op full parse/dispatch round.
+                    # Long matches hit the wire as runs of max-length
+                    # copy tags (0xFE) ending in one shorter tag at the
+                    # SAME offset (encoder.nim:83-111): coalesce run +
+                    # tail into ONE emit (scalar_emit.make_run_lookahead
+                    # — entry/body costs measured in e29).  Each
+                    # coalesced tag costs ~12 ops instead of the
+                    # ~100-op full round.
                     run = (b == jnp.int32(0xFE)) & (~bad)
-
-                    def count(_):
-                        t24 = load24(pos)
-
-                        def body(st):
-                            p2, k, go = st
-                            ok = (p2 + 3 <= n) & (w + 64 * (k + 2) <= m)
-                            same = ok & (load24(p2) == t24)
-                            return (
-                                jax.lax.select(same, p2 + 3, p2),
-                                k + jax.lax.select(
-                                    same, jnp.int32(1), jnp.int32(0)),
-                                same,
-                            )
-
-                        _, k, _ = jax.lax.while_loop(
-                            lambda st: st[2], body,
-                            (pos + 3, jnp.int32(0), jnp.bool_(True)))
-                        return k
-
-                    k = jax.lax.cond(
-                        run, count, lambda _: jnp.int32(0), 0)
-                    eff = length + 64 * k
-                    consumed = consumed + 3 * k
+                    tot, extra = jax.lax.cond(
+                        run,
+                        lambda _: lookahead(pos, off, length, n, m - w),
+                        lambda _: (length, jnp.int32(0)), 0)
+                    eff = tot
+                    consumed = consumed + extra
                 else:
                     eff = length
 
@@ -278,9 +254,13 @@ def _make_kernel(cw_pad: int, out_words: int):
         # * long literals (>= LONG_T) only exist in literal-dominated
         #   chunks = the high-ratio ones (jpeg ~1.0, pdf ~0.87 vs text
         #   <= 0.6 per 64 KiB block);
-        # * identical-copy-tag runs (long matches) dominate exactly the
-        #   very-low-ratio chunks (RLE ~0.05, repeated content ~0.1 vs
-        #   text >= 0.2).
+        # * max-length copy-tag runs (long matches) dominate exactly the
+        #   very-low-ratio chunks (RLE ~0.05, geo.protodata ~0.20 vs
+        #   text >= 0.2).  The gate must stay TIGHT: widening it to 0.3
+        #   (html) or 0.5 (kppkn/urls) measured -5..-11% on chip even
+        #   though those classes hold 9-43% coalescable run bytes — the
+        #   runs walk's per-tag compare + near-arm branching outweighs
+        #   the wins there (e29 same-session A/B, round 4).
         long_chunk = (10 * n >= 7 * m) & (m >= emit_long_mod.LONG_T)
         run_chunk = (5 * n <= m) & (~long_chunk)
         idx = (jax.lax.select(long_chunk, jnp.int32(1), jnp.int32(0))

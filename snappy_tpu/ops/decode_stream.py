@@ -991,20 +991,14 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             more, navail - jnp.int32(MARGIN - 1), navail
         )
 
-        def load24(p):
-            w0 = buf_ref[p >> 2]
-            w1 = buf_ref[(p >> 2) + 1]
-            sh = (p & 3) * 8
-            lo = (w0 >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
-            return jax.lax.select(
-                sh == 0, w0, lo | (w1 << (32 - sh))) & 0xFFFFFF
+        lookahead = scalar_emit.make_run_lookahead(buf_ref)
 
         def make_tag_loop(with_long: bool, with_runs: bool = False):
             """The whole fast/slow tag-loop machinery, instantiated three
             times and selected per WINDOW by the adaptive ratio flag:
             the long variant routes >= LONG_T literals through `special`
             to the slow step's DMA emitter; the runs variant coalesces
-            identical max-length copy tags (long matches); the plain
+            same-offset copy runs (long matches + structured data); the plain
             variant is byte-for-byte the round-2 loop, so text windows
             pay zero per-tag cost."""
             sdisp = dispatch_long if with_long else dispatch
@@ -1025,35 +1019,17 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
                     special |= is_lit & (length >= emit_long_mod.LONG_T)
 
                 if with_runs:
-                    # coalesce runs of byte-identical tagCopy2-len-64
-                    # tags (0xFE — the wire shape of long matches,
-                    # encoder.nim:96-111) into one emit
+                    # Runs of max-length copy tags (0xFE, the wire shape
+                    # of long matches) + one same-offset shorter tail
+                    # tag coalesce into ONE emit (scalar_emit.
+                    # make_run_lookahead; coverage by class: e28 runsC,
+                    # entry/body costs: e29).
                     run = (b == jnp.int32(0xFE)) & (~special)
-
-                    def count(_):
-                        t24 = load24(pos)
-
-                        def body(st):
-                            p2, k, go = st
-                            ok = ((p2 + 3 <= navail)
-                                  & (w + 64 * (k + 2) <= m))
-                            same = ok & (load24(p2) == t24)
-                            return (
-                                jax.lax.select(same, p2 + 3, p2),
-                                k + jax.lax.select(
-                                    same, jnp.int32(1), jnp.int32(0)),
-                                same,
-                            )
-
-                        _, k, _ = jax.lax.while_loop(
-                            lambda st: st[2], body,
-                            (pos + 3, jnp.int32(0), jnp.bool_(True)))
-                        return k
-
-                    k = jax.lax.cond(
-                        run, count, lambda _: jnp.int32(0), 0)
-                    eff = length + 64 * k
-                    extra = 3 * k
+                    eff, extra = jax.lax.cond(
+                        run,
+                        lambda _: lookahead(pos, off, length,
+                                            navail, m - w),
+                        lambda _: (length, jnp.int32(0)), 0)
                 else:
                     eff = length
                     extra = 0
@@ -1199,7 +1175,8 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             cw = pos_t2 - ms[_GS_WPOS]
             ms[_GS_LONGF] = jax.lax.select(
                 cw >= (m // 10) * 7, jnp.int32(1),
-                jax.lax.select(5 * cw <= m, jnp.int32(2), jnp.int32(0)))
+                jax.lax.select(5 * cw <= m, jnp.int32(2),
+                               jnp.int32(0)))
             ms[_GS_WPOS] = pos_t2
 
         @pl.when(~win_done)

@@ -251,6 +251,73 @@ def make_parser(lut_ref, buf_ref):
     return parse
 
 
+def make_run_lookahead(buf_ref):
+    """Max-length copy-run coalescer with a same-offset tail merge.
+
+    Consecutive copy tags whose offsets are all EQUAL describe one
+    contiguous source region: a copy of ``l`` bytes at output cursor
+    ``w`` from ``w - off`` followed by a copy at ``w + l`` from
+    ``w + l - off`` is a single copy of ``l + l2`` bytes from
+    ``w - off``.  Long matches hit the wire exactly this way: a run of
+    byte-identical max-length tagCopy2 ops (0xFE) ending in one SHORTER
+    tag at the same offset (emit_copy's 68/64/60 splitting,
+    encoder.nim:83-111).  The detection is deliberately asymmetric
+    (measured, experiments/e29): entry only on a 0xFE tag (one compare
+    on the hot path — a general any-copy2 entry probe measured -7..-11%
+    on html/geo/RLE), a cheap byte-identical inner loop, then ONE
+    general same-offset tagCopy2 tail merge.  This covers 52.6% of
+    geo.protodata's, 43.4% of html's and 13.7% of paper-100k.pdf's
+    output bytes (experiments/e28 runsC).
+
+    Returns ``lookahead(pos, off, length, in_limit, out_room)`` ->
+    ``(tot, extra)``:
+      pos      -- byte offset of the current (already validated) 0xFE
+                  tag; off/length its decoded offset/length
+      in_limit -- continuation tags must END at or before this input
+                  byte offset
+      out_room -- the coalesced total may not exceed this many bytes
+    ``tot`` is the coalesced length (>= length), ``extra`` the extra
+    input bytes consumed past the current tag's 3-byte header.
+    Continuations need no further validation: their offset equals the
+    validated current tag's (> 0, <= written), lengths are bounded by
+    ``out_room``, and their bytes lie inside ``in_limit``.
+    """
+
+    def load24(p):
+        w0 = buf_ref[p >> 2]
+        w1 = buf_ref[(p >> 2) + 1]
+        sh = (p & 3) * 8
+        return jax.lax.select(
+            sh == 0, w0,
+            ((w0 >> sh) & ((jnp.int32(1) << (32 - sh)) - 1))
+            | (w1 << (32 - sh))) & 0xFFFFFF
+
+    def lookahead(pos, off, length, in_limit, out_room):
+        t24 = load24(pos)
+
+        def body(st):
+            p2, tot, go = st
+            same = ((p2 + 3 <= in_limit) & (tot + 64 <= out_room)
+                    & (load24(p2) == t24))
+            return (jax.lax.select(same, p2 + 3, p2),
+                    tot + jax.lax.select(same, jnp.int32(64),
+                                         jnp.int32(0)),
+                    same)
+
+        p2, tot, _ = jax.lax.while_loop(
+            lambda st: st[2], body,
+            (pos + 3, length, jnp.bool_(True)))
+        t24b = load24(p2)
+        ln2 = ((t24b & 0xFF) >> 2) + 1
+        tail = ((p2 + 3 <= in_limit) & ((t24b & 3) == 2)
+                & ((t24b >> 8) == off) & (tot + ln2 <= out_room))
+        tot = tot + jax.lax.select(tail, ln2, jnp.int32(0))
+        p2 = jax.lax.select(tail, p2 + 3, p2)
+        return tot, p2 - (pos + 3)
+
+    return lookahead
+
+
 def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
                       buf_cap_words: int, emit_long=None,
                       long_t: int = 4096, emit_fill=None, gbyte=None):

@@ -573,6 +573,59 @@ class TestCopyRunCoalescing:
                 body, len(payload), mode="grid", interpret=True)
             assert reason == "ok" and out == payload
 
+    def _check_body(self, body):
+        want, err = oracle.decode_all_tags(body, 1 << 20)
+        assert err is None
+        meta, comp = decode_scalar.pack_chunks([body], [len(want)])
+        out_w, status = decode_scalar.decode_chunks_words(
+            meta, comp, 1, interpret=True)
+        status = np.asarray(status)
+        assert bool(status[0, 0, 0])
+        got = decode_scalar.unpack_output(np.asarray(out_w),
+                                          status[:, 0, 1])[0]
+        assert got == bytes(want)
+
+    def test_period_5_and_7_overlap_runs(self):
+        # off in [4, 8): the carry_ok=False re-load funnel serves the
+        # coalesced (arbitrarily long) eff for self-overlapping copies
+        self._check_chunk(b"abcde" * 12000)
+        self._check_chunk(b"abcdefg" * 8000)
+
+    def test_varying_length_same_offset_run(self):
+        # The general coalescer form: one same-offset run whose lengths
+        # VARY (the geo.protodata/html wire shape, experiments/e28) —
+        # not byte-identical tags.  Low-ratio by construction so the
+        # runs walk is selected.
+        r = random.Random(31)
+        lit = TestLongLiteralDMAEmit._lit
+        c2 = TestLongLiteralDMAEmit._copy2
+        body = lit(r.randbytes(300))
+        for i in range(600):
+            body += c2(200, (7 * i) % 63 + 2)
+        body += lit(r.randbytes(40))
+        for i in range(200):
+            body += c2(5000, (11 * i) % 60 + 4)
+        self._check_body(body)
+
+    def test_varying_length_run_grid_multiwindow(self):
+        from snappy_tpu.ops import decode_stream
+        r = random.Random(32)
+        lit = TestLongLiteralDMAEmit._lit
+        c2 = TestLongLiteralDMAEmit._copy2
+        body = lit(r.randbytes(300))
+        total = 300
+        i = 0
+        while total < 3 * 65536 + 7777:  # ~3 windows, runs cross caps
+            ln = (13 * i) % 62 + 3
+            body += c2(259, ln)
+            total += ln
+            i += 1
+        want, err = oracle.decode_all_tags(body, 1 << 20)
+        assert err is None
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            body, len(want), mode="grid", interpret=True)
+        assert reason == "ok" and out == bytes(want)
+
     def test_off2_fill_odd_parity(self):
         # a 1-byte prefix shifts the pattern-origin parity: the fill
         # word must follow the (dst - off) & 1 phase
