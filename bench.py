@@ -366,6 +366,20 @@ def bench_device(datasets):
             f"({NB*65536/ienc_t/1e6:.1f} MB/s)"
         )
 
+        # RLE-class blocks: the match walk rides the long-match
+        # continuation modes (16 B/iter, encode_scalar.match_len)
+        rblocks = [b"j" * 65536 for _ in range(NB)]
+        rem, rin = encode_scalar.pack_blocks(rblocks)
+        drem, drin = jax.device_put(rem), jax.device_put(rin)
+        renc_t = pipelined_time(
+            lambda: encode_scalar.encode_blocks_words(drem, drin, NB),
+            samples=3,
+        )
+        log(
+            f"device block encode (RLE x{NB}, long-match modes): "
+            f"{1e3*renc_t:.1f} ms ({NB*65536/renc_t/1e6:.1f} MB/s)"
+        )
+
         emeta, inw = encode_scalar.pack_blocks(blocks128)
         dem, din = jax.device_put(emeta), jax.device_put(inw)
         enc_t = pipelined_time(

@@ -250,16 +250,40 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
         table_ref[h] = (epoch << 16) | pos
         return jax.lax.select((e >> 16) == epoch, e & 0xFFFF, jnp.int32(0))
 
+    def _tail_bytes(x):
+        """Matching low bytes of a word-pair XOR (0..4)."""
+        return (
+            jax.lax.select((x & 255) == 0, 1, 0)
+            + jax.lax.select((x & 0xFFFF) == 0, 1, 0)
+            + jax.lax.select((x & 0xFFFFFF) == 0, 1, 0)
+            + jax.lax.select(x == 0, 1, 0)
+        )
+
     def match_len(c, s):
         """Length of the common prefix of input[c..] / input[s..] capped
         at n (findMatchLength analog).
 
-        Carried word loads (2 per iteration instead of 4 — both cursors
-        advance by 4 so each stream re-uses its previous high word) and a
-        branchless byte tail counted from the XOR of the final word pair.
-        The loop may compare the word straddling n (padding is
-        zero-filled; the final clip caps any spurious padding match), so
-        full reference match lengths survive without a byte-tail loop.
+        The generic loop: carried word loads (2 per iteration instead of
+        4 — both cursors advance by 4 so each stream re-uses its previous
+        high word) and a branchless byte tail counted from the XOR of the
+        final word pair.  Loops may compare words straddling n (padding
+        is zero-filled; the final clip caps any spurious padding match),
+        so full reference match lengths survive without a byte-tail loop.
+
+        Long matches (>= ~60 B — the RLE / periodic / structured-data
+        classes; text matches average 4-16 B and never reach this) leave
+        the generic 4-byte/iter funnel loop for one of two 16-byte/iter
+        continuations selected by the offset (round 4, e30):
+          * phase-aligned (off % 4 == 0): raw word compares, no funnels —
+            byte phase cancels between the streams;
+          * periodic (off in {1, 2}): the matched region repeats with a
+            word period dividing 4, so every aligned word must equal ONE
+            register constant (the same insight as the decoder's pattern
+            fill).
+        Other offsets resume the generic loop.  The mode switch costs the
+        generic loop nothing: the first loop's iteration cap is folded
+        into its (hoisted) bound check, and the switch sits behind a
+        branch only taken when the cap was reached.
         """
         sh_c = (c & 3) * 8
         mc = (jnp.int32(1) << (32 - sh_c)) - 1
@@ -267,24 +291,31 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
         sh_s = (s & 3) * 8
         ms = (jnp.int32(1) << (32 - sh_s)) - 1
         sw = s >> 2
+        # hoisted generic-loop bound: continue while k <= kmax
+        # (identical to the original `s + 4*k + 8 <= n + 4`)
+        kmax = (n - 4 - s) >> 2
+        kstop1 = jnp.minimum(kmax, jnp.int32(14))
 
-        def body(state):
-            k, cc, cs, go, x = state
-            nc = in_ref[0, 0, cw + k + 1]
-            ns = in_ref[0, 0, sw + k + 1]
-            vc = jax.lax.select(
-                sh_c == 0, cc, ((cc >> sh_c) & mc) | (nc << (32 - sh_c))
-            )
-            vs = jax.lax.select(
-                sh_s == 0, cs, ((cs >> sh_s) & ms) | (ns << (32 - sh_s))
-            )
-            x2 = vc ^ vs
-            go2 = (x2 == 0) & (s + 4 * k + 8 <= n + 4)
-            return k + 1, nc, ns, go2, x2
+        def gen_body(kstop):
+            def body(state):
+                k, cc, cs, go, x = state
+                nc = in_ref[0, 0, cw + k + 1]
+                ns = in_ref[0, 0, sw + k + 1]
+                vc = jax.lax.select(
+                    sh_c == 0, cc, ((cc >> sh_c) & mc) | (nc << (32 - sh_c))
+                )
+                vs = jax.lax.select(
+                    sh_s == 0, cs, ((cs >> sh_s) & ms) | (ns << (32 - sh_s))
+                )
+                x2 = vc ^ vs
+                go2 = (x2 == 0) & (k <= kstop)
+                return k + 1, nc, ns, go2, x2
 
-        k, _, _, _, x = jax.lax.while_loop(
+            return body
+
+        k, cc, cs, _, x = jax.lax.while_loop(
             lambda state: state[3],
-            body,
+            gen_body(kstop1),
             (
                 jnp.int32(0),
                 in_ref[0, 0, cw],
@@ -293,14 +324,91 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
                 jnp.int32(0),
             ),
         )
-        # words 0..k-2 matched fully; word k-1 supplies the tail via x
-        extra = (
-            jax.lax.select((x & 255) == 0, 1, 0)
-            + jax.lax.select((x & 0xFFFF) == 0, 1, 0)
-            + jax.lax.select((x & 0xFFFFFF) == 0, 1, 0)
-            + jax.lax.select(x == 0, 1, 0)
-        )
-        return jnp.clip(4 * (k - 1) + extra, 0, n - s)
+        cont = (x == 0) & (kmax > kstop1)
+
+        def finish_short(_):
+            # words 0..k-2 matched fully; word k-1 supplies the tail via x
+            return 4 * (k - 1) + _tail_bytes(x)
+
+        def go_long(_):
+            """Continuation past 60 confirmed bytes (k == 15 here: the
+            cap is only reachable when kmax > 14).  All three modes scan
+            from word index base+15, whose start byte is <= c+60 /
+            s+60 — inside the confirmed region, so there is no gap."""
+
+            def scan16(qc_or_base, qs, use_w, W):
+                """16-byte/iter scan; compares in[qc+j]^in[qs+j] (mode A,
+                use_w=False) or in[qs+j]^W (mode B).  Returns the first
+                mismatch byte's absolute S-SIDE offset, or n (bound
+                exit)."""
+
+                def body(st):
+                    j, go, a0, a1, a2, a3 = st
+                    if use_w:
+                        b0 = in_ref[0, 0, qs + j] ^ W
+                        b1 = in_ref[0, 0, qs + j + 1] ^ W
+                        b2 = in_ref[0, 0, qs + j + 2] ^ W
+                        b3 = in_ref[0, 0, qs + j + 3] ^ W
+                    else:
+                        b0 = in_ref[0, 0, qc_or_base + j] ^ in_ref[0, 0, qs + j]
+                        b1 = (in_ref[0, 0, qc_or_base + j + 1]
+                              ^ in_ref[0, 0, qs + j + 1])
+                        b2 = (in_ref[0, 0, qc_or_base + j + 2]
+                              ^ in_ref[0, 0, qs + j + 2])
+                        b3 = (in_ref[0, 0, qc_or_base + j + 3]
+                              ^ in_ref[0, 0, qs + j + 3])
+                    go2 = (((b0 | b1) | (b2 | b3)) == 0) & (
+                        4 * (qs + j + 4) < n + 4
+                    )
+                    return j + 4, go2, b0, b1, b2, b3
+
+                j, _, a0, a1, a2, a3 = jax.lax.while_loop(
+                    lambda st: st[1],
+                    body,
+                    (jnp.int32(0), jnp.bool_(True), jnp.int32(0),
+                     jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                )
+                jl = j - 4  # group that ended the loop
+                allz = ((a0 | a1) | (a2 | a3)) == 0
+                idx = (jax.lax.select(a0 != 0, 0,
+                       jax.lax.select(a1 != 0, 1,
+                       jax.lax.select(a2 != 0, 2, 3))))
+                xw = (jax.lax.select(a0 != 0, a0,
+                      jax.lax.select(a1 != 0, a1,
+                      jax.lax.select(a2 != 0, a2, a3))))
+                mis = 4 * (qs + jl + idx) + _tail_bytes(
+                    jax.lax.select(allz, jnp.int32(1), xw))
+                return jax.lax.select(allz, n, mis)
+
+            def mode_aligned(_):
+                # byte phase cancels (c % 4 == s % 4): raw words at equal
+                # indices-from-base compare the same stream-relative spans
+                return scan16(cw + 15, sw + 15, False, jnp.int32(0)) - s
+
+            def mode_pattern(_):
+                # word period divides 4: every aligned word in the run
+                # equals in[sw+13] (fully inside the confirmed 60 bytes)
+                W = in_ref[0, 0, sw + 13]
+                mis = scan16(jnp.int32(0), sw + 14, True, W)
+                return mis - s
+
+            def mode_generic(_):
+                k2, _, _, _, x2 = jax.lax.while_loop(
+                    lambda state: state[3],
+                    gen_body(kmax),
+                    (k, cc, cs, jnp.bool_(True), jnp.int32(0)),
+                )
+                return 4 * (k2 - 1) + _tail_bytes(x2)
+
+            off = s - c
+            which = jax.lax.select(
+                (off & 3) == 0, jnp.int32(0),
+                jax.lax.select(off <= 2, jnp.int32(1), jnp.int32(2)))
+            return jax.lax.switch(
+                which, [mode_aligned, mode_pattern, mode_generic], 0)
+
+        res = jax.lax.cond(cont, go_long, finish_short, 0)
+        return jnp.clip(res, 0, n - s)
 
     # table mask per the reference's input-dependent sizing
     # (encoder.nim:27-34): smallest power of two in [256, 16384] >= n.

@@ -229,6 +229,36 @@ class TestScalarEncoder:
             ref = oracle.encode_block(p) if p else b""
             assert encs[k] == ref, (k, len(encs[k]), len(ref))
 
+    def test_long_match_modes_byte_identical(self):
+        """The three long-match continuation modes of match_len (round 4:
+        phase-aligned raw-word scan, periodic constant-word scan, generic
+        resume) must keep encoder output byte-identical to the oracle —
+        incl. period breaks mid-run and match ends near the block end."""
+        r = random.Random(41)
+        blocks = [
+            b"j" * 65536,                                   # mode B, off 1
+            b"ab" * 32768,                                  # mode B, off 2
+            b"abc" * 21845 + b"x",                          # mode C, off 3
+            b"abcde" * 13107 + b"z",                        # mode C, off 5
+            bytes(range(8)) * 8192,                         # mode A, off 8
+            r.randbytes(4096) * 16,                         # mode A, off 4096
+            r.randbytes(4097) * 15 + b"\x00" * 4081,        # mode C, odd off
+            # period breaks mid-run, then resumes
+            b"q" * 30000 + b"BREAK" + b"q" * 30000,
+            b"rs" * 15000 + b"!" + b"rs" * 15000,
+            # long match ending exactly at / near the block end
+            (b"m" * 200 + r.randbytes(64)) + b"m" * 65272,
+            r.randbytes(100) * 655 + r.randbytes(36),
+        ]
+        blocks = [b[:65536] for b in blocks]
+        meta, inw = encode_scalar.pack_blocks(blocks)
+        enc_w, elen = encode_scalar.encode_blocks_words(
+            meta, inw, len(blocks), interpret=True)
+        encs = encode_scalar.unpack_enc(
+            np.asarray(enc_w), np.asarray(elen)[:, 0, 0])
+        for k, blk in enumerate(blocks):
+            assert encs[k] == oracle.encode_block(blk), f"block {k}"
+
     def test_corpus_blocks_byte_identical_to_oracle(self, corpus_root):
         """Every 64 KiB block of the benchmark corpus encodes to exactly
         the oracle's bytes (stronger than the reference's own cross-
