@@ -204,18 +204,86 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
 
     def emit_copy(op, offset, length):
         """Copy ops with the reference's 68/64/60 splitting
-        (encoder.nim:81-125).  Returns new op."""
+        (encoder.nim:81-125).  Returns new op.
 
-        def long_body(s):
+        The max-length tag run of a long match is a 3-byte pattern
+        (0xFE, off_lo, off_hi) repeating: runs of >= 8 tags emit 4 tags
+        per 3 aligned word stores instead of 3 read-modify-write byte
+        stores per tag (round 4; the symmetric trick to the decoder's
+        pattern fill).  Short matches see exactly one branch here, the
+        same count as the old `while rem >= 68` loop's entry check."""
+
+        def emit_64s(s):
             op_, rem = s
-            pbyte(op_, (63 << 2) | 2)  # tagCopy2, len 64
-            pbyte(op_ + 1, offset & 255)
-            pbyte(op_ + 2, (offset >> 8) & 255)
-            return op_ + 3, rem - 64
+            k64 = (rem - 4) >> 6  # tag count; equals the old loop's trips
+            lo = offset & 255
+            hi = (offset >> 8) & 255
 
-        op, rem = jax.lax.while_loop(
-            lambda s: s[1] >= 68, long_body, (op, length)
-        )
+            def scalar_tags(a):
+                op2, k = a
+
+                def body(st):
+                    o, j = st
+                    pbyte(o, 0xFE)
+                    pbyte(o + 1, lo)
+                    pbyte(o + 2, hi)
+                    return o + 3, j - 1
+
+                o2, _ = jax.lax.while_loop(
+                    lambda st: st[1] > 0, body, (op2, k))
+                return o2
+
+            def pattern_tags(a):
+                op2, k = a
+                nb = 3 * k
+                # word with byte j = pat[(r + j) % 3], pat = (FE, lo, hi)
+                t0 = jnp.int32(0xFE)
+
+                def wrd(b0, b1, b2):
+                    return b0 | (b1 << 8) | (b2 << 16) | (b0 << 24)
+
+                W0 = wrd(t0, lo, hi)
+                W1 = wrd(lo, hi, t0)
+                W2 = wrd(hi, t0, lo)
+                # head: two unaligned stores with the op2-phase pattern
+                pword_u(op2, W0)
+                pword_u(op2 + 4, W1)
+                # aligned restart; (q0 - op2) in [5, 8] -> phase r0
+                q0 = (((op2 + 8) >> 2) << 2)
+                d = q0 - op2
+                r0 = jax.lax.select(
+                    d == 5, jnp.int32(2),
+                    jax.lax.select(d == 6, jnp.int32(0),
+                                   jax.lax.select(d == 7, jnp.int32(1),
+                                                  jnp.int32(2))))
+                Wa = jax.lax.select(
+                    r0 == 0, W0, jax.lax.select(r0 == 1, W1, W2))
+                Wb = jax.lax.select(
+                    r0 == 0, W1, jax.lax.select(r0 == 1, W2, W0))
+                Wc = jax.lax.select(
+                    r0 == 0, W2, jax.lax.select(r0 == 1, W0, W1))
+                end = op2 + nb
+
+                def body(st):
+                    q, c = st
+                    wi = q >> 2
+                    enc_ref[0, 0, wi] = Wa
+                    enc_ref[0, 0, wi + 1] = Wb
+                    enc_ref[0, 0, wi + 2] = Wc
+                    return q + 12, c
+
+                # spills <= 11 B past `end`; the next tag (which always
+                # follows at `end`) rewrites them
+                jax.lax.while_loop(
+                    lambda st: st[0] < end, body, (q0, jnp.int32(0)))
+                return op2 + nb
+
+            op2 = jax.lax.cond(k64 >= 8, pattern_tags, scalar_tags,
+                               (op_, k64))
+            return op2, rem - 64 * k64
+
+        op, rem = jax.lax.cond(
+            length >= 68, emit_64s, lambda s: s, (op, length))
 
         def emit60(s):
             op_, rem_ = s
@@ -341,6 +409,10 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
                 use_w=False) or in[qs+j]^W (mode B).  Returns the first
                 mismatch byte's absolute S-SIDE offset, or n (bound
                 exit)."""
+                # hoisted bound: j <= jlim  <=>  4*(qs+j+4) < n+4
+                # (LHS divisible by 4, so 4a < b+1 <=> a <= (b)>>2 for
+                # b = n+3)
+                jlim = ((n + 3) >> 2) - qs - 4
 
                 def body(st):
                     j, go, a0, a1, a2, a3 = st
@@ -357,9 +429,7 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
                               ^ in_ref[0, 0, qs + j + 2])
                         b3 = (in_ref[0, 0, qc_or_base + j + 3]
                               ^ in_ref[0, 0, qs + j + 3])
-                    go2 = (((b0 | b1) | (b2 | b3)) == 0) & (
-                        4 * (qs + j + 4) < n + 4
-                    )
+                    go2 = (((b0 | b1) | (b2 | b3)) == 0) & (j <= jlim)
                     return j + 4, go2, b0, b1, b2, b3
 
                 j, _, a0, a1, a2, a3 = jax.lax.while_loop(
