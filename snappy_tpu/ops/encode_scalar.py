@@ -404,48 +404,43 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
             from word index base+15, whose start byte is <= c+60 /
             s+60 — inside the confirmed region, so there is no gap."""
 
-            def scan16(qc_or_base, qs, use_w, W):
-                """16-byte/iter scan; compares in[qc+j]^in[qs+j] (mode A,
+            def scan32(qc, qs, use_w, W):
+                """32-byte/iter scan; compares in[qc+j]^in[qs+j] (mode A,
                 use_w=False) or in[qs+j]^W (mode B).  Returns the first
                 mismatch byte's absolute S-SIDE offset, or n (bound
                 exit)."""
-                # hoisted bound: j <= jlim  <=>  4*(qs+j+4) < n+4
-                # (LHS divisible by 4, so 4a < b+1 <=> a <= (b)>>2 for
+                # hoisted bound: j <= jlim  <=>  4*(qs+j+8) < n+4
+                # (LHS divisible by 4, so 4a < b+1 <=> a <= b>>2 for
                 # b = n+3)
-                jlim = ((n + 3) >> 2) - qs - 4
+                jlim = ((n + 3) >> 2) - qs - 8
+
+                def xw_at(j, i):
+                    if use_w:
+                        return in_ref[0, 0, qs + j + i] ^ W
+                    return in_ref[0, 0, qc + j + i] ^ in_ref[0, 0, qs + j + i]
 
                 def body(st):
-                    j, go, a0, a1, a2, a3 = st
-                    if use_w:
-                        b0 = in_ref[0, 0, qs + j] ^ W
-                        b1 = in_ref[0, 0, qs + j + 1] ^ W
-                        b2 = in_ref[0, 0, qs + j + 2] ^ W
-                        b3 = in_ref[0, 0, qs + j + 3] ^ W
-                    else:
-                        b0 = in_ref[0, 0, qc_or_base + j] ^ in_ref[0, 0, qs + j]
-                        b1 = (in_ref[0, 0, qc_or_base + j + 1]
-                              ^ in_ref[0, 0, qs + j + 1])
-                        b2 = (in_ref[0, 0, qc_or_base + j + 2]
-                              ^ in_ref[0, 0, qs + j + 2])
-                        b3 = (in_ref[0, 0, qc_or_base + j + 3]
-                              ^ in_ref[0, 0, qs + j + 3])
-                    go2 = (((b0 | b1) | (b2 | b3)) == 0) & (j <= jlim)
-                    return j + 4, go2, b0, b1, b2, b3
+                    j = st[0]
+                    b = [xw_at(j, i) for i in range(8)]
+                    z = ((b[0] | b[1]) | (b[2] | b[3])) | (
+                        (b[4] | b[5]) | (b[6] | b[7]))
+                    go2 = (z == 0) & (j <= jlim)
+                    return (j + 8, go2) + tuple(b)
 
-                j, _, a0, a1, a2, a3 = jax.lax.while_loop(
+                st = jax.lax.while_loop(
                     lambda st: st[1],
                     body,
-                    (jnp.int32(0), jnp.bool_(True), jnp.int32(0),
-                     jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                    (jnp.int32(0), jnp.bool_(True)) + (jnp.int32(0),) * 8,
                 )
-                jl = j - 4  # group that ended the loop
-                allz = ((a0 | a1) | (a2 | a3)) == 0
-                idx = (jax.lax.select(a0 != 0, 0,
-                       jax.lax.select(a1 != 0, 1,
-                       jax.lax.select(a2 != 0, 2, 3))))
-                xw = (jax.lax.select(a0 != 0, a0,
-                      jax.lax.select(a1 != 0, a1,
-                      jax.lax.select(a2 != 0, a2, a3))))
+                j, a = st[0], st[2:]
+                jl = j - 8  # group that ended the loop
+                allz = (((a[0] | a[1]) | (a[2] | a[3]))
+                        | ((a[4] | a[5]) | (a[6] | a[7]))) == 0
+                idx = jnp.int32(7)
+                xw = a[7]
+                for i in range(6, -1, -1):
+                    idx = jax.lax.select(a[i] != 0, jnp.int32(i), idx)
+                    xw = jax.lax.select(a[i] != 0, a[i], xw)
                 mis = 4 * (qs + jl + idx) + _tail_bytes(
                     jax.lax.select(allz, jnp.int32(1), xw))
                 return jax.lax.select(allz, n, mis)
@@ -453,13 +448,13 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
             def mode_aligned(_):
                 # byte phase cancels (c % 4 == s % 4): raw words at equal
                 # indices-from-base compare the same stream-relative spans
-                return scan16(cw + 15, sw + 15, False, jnp.int32(0)) - s
+                return scan32(cw + 15, sw + 15, False, jnp.int32(0)) - s
 
             def mode_pattern(_):
                 # word period divides 4: every aligned word in the run
                 # equals in[sw+13] (fully inside the confirmed 60 bytes)
                 W = in_ref[0, 0, sw + 13]
-                mis = scan16(jnp.int32(0), sw + 14, True, W)
+                mis = scan32(jnp.int32(0), sw + 14, True, W)
                 return mis - s
 
             def mode_generic(_):
