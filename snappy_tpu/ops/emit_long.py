@@ -246,6 +246,57 @@ def make_emit_long(src_ref, dst_ref, vbuf_ref, hbuf_ref, sems, sem_h,
     return emit_long
 
 
+def make_scan_eq(src_ref, vbuf_ref, sems):
+    """Build scan_eq(g0, glim, W) -> first granule index in [g0, glim)
+    whose 1024 words are not all == W, or glim if every granule matches.
+
+    The encoder's long-PATTERN match extension (encode_scalar.match_len
+    mode B): instead of the scalar core xor-walking a multi-KiB periodic
+    run, DMA 4 KiB input granules into the VMEM bounce (depth-2
+    pipelined, same granule discipline as emit_long) and let the VPU
+    compare each against the broadcast pattern word; the scalar core
+    only re-scans the one mismatching granule.  All DMAs are drained
+    before return — the scratch is shared with emit_long/emit_fill,
+    which run strictly after on the serial scalar core."""
+
+    def dma(g, slot):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(pl.multiple_of(g * G, G), G)],
+            vbuf_ref.at[pl.ds(pl.multiple_of(slot * G, G), G)],
+            sems.at[slot])
+
+    def scan_eq(g0, glim, W):
+        def run(_):
+            dma(g0, jnp.int32(0)).start()
+
+            def body(st):
+                g, _go, _eq = st
+
+                @pl.when(g + 1 < glim)
+                def _():
+                    dma(g + 1, (g + 1 - g0) & 1).start()
+
+                dma(g, (g - g0) & 1).wait()
+                slot_off = pl.multiple_of(((g - g0) & 1) * G, G)
+                T = vbuf_ref[pl.ds(slot_off, G)].reshape(8, 128)
+                eq = jnp.all(T == W)
+                return g + 1, eq & (g + 1 < glim), eq
+
+            gex, _, eq_last = jax.lax.while_loop(
+                lambda st: st[1], body,
+                (g0, jnp.bool_(True), jnp.bool_(True)))
+            # drain the in-flight prefetch the exiting iteration started
+            @pl.when(gex < glim)
+            def _():
+                dma(gex, (gex - g0) & 1).wait()
+
+            return jax.lax.select(eq_last, glim, gex - 1)
+
+        return jax.lax.cond(g0 < glim, run, lambda _: glim, 0)
+
+    return scan_eq
+
+
 def make_emit_fill(dst_ref, vbuf_ref, hbuf_ref, sems, sem_h):
     """Build emit_fill(dst_b, length, wpat): fill ``length`` bytes at
     dst_ref[dst_b:] with the constant word ``wpat`` via a VPU broadcast

@@ -63,6 +63,8 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
         in_ref.at[0, 0], enc_ref.at[0, 0],
         el_vbuf.at[0, 0], el_hbuf.at[0, 0], el_sems, el_semh,
         same_ref=False)
+    scan_eq = emit_long_mod.make_scan_eq(
+        in_ref.at[0, 0], el_vbuf.at[0, 0], el_sems)
 
     # One-time table clear (entries are epoch-checked afterwards).
     @pl.when(pl.program_id(0) == 0)
@@ -404,15 +406,20 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
             from word index base+15, whose start byte is <= c+60 /
             s+60 — inside the confirmed region, so there is no gap."""
 
-            def scan32(qc, qs, use_w, W):
+            def scan32(qc, qs, use_w, W, qend=None):
                 """32-byte/iter scan; compares in[qc+j]^in[qs+j] (mode A,
                 use_w=False) or in[qs+j]^W (mode B).  Returns the first
                 mismatch byte's absolute S-SIDE offset, or n (bound
-                exit)."""
+                exit).  With ``qend`` (a word index), the scan may also
+                stop once its group start reaches qend — callers using
+                it must treat any return >= 4*qend as "no mismatch
+                found below 4*qend" and continue by other means."""
                 # hoisted bound: j <= jlim  <=>  4*(qs+j+8) < n+4
                 # (LHS divisible by 4, so 4a < b+1 <=> a <= b>>2 for
                 # b = n+3)
                 jlim = ((n + 3) >> 2) - qs - 8
+                if qend is not None:
+                    jlim = jnp.minimum(jlim, qend - qs - 8)
 
                 def xw_at(j, i):
                     if use_w:
@@ -452,10 +459,35 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
 
             def mode_pattern(_):
                 # word period divides 4: every aligned word in the run
-                # equals in[sw+13] (fully inside the confirmed 60 bytes)
+                # equals in[sw+13] (fully inside the confirmed 60 bytes).
+                # The scalar core covers the gap up to a 4 KiB granule
+                # boundary plus one granule; multi-KiB runs then hand the
+                # compare to DMA granules + the VPU (emit_long.
+                # make_scan_eq) and the scalar core only re-scans the one
+                # mismatching granule — the RLE/zero-page encode class.
                 W = in_ref[0, 0, sw + 13]
-                mis = scan32(jnp.int32(0), sw + 14, True, W)
-                return mis - s
+                gA = ((sw + 14) >> 10) + 2   # first DMA granule
+                mis = scan32(jnp.int32(0), sw + 14, True, W,
+                             qend=1024 * gA)
+
+                def short(_):
+                    return mis - s
+
+                def granules(_):
+                    glim = n >> 12           # full granules below n
+                    gbad = scan_eq(gA, glim, W)
+                    # scalar refine inside the bad granule (or the tail
+                    # past the last full granule); max() guards the
+                    # degenerate glim < gA case where nothing was
+                    # DMA-scanned and the refine must not start below
+                    # the unconfirmed region
+                    qr = jnp.maximum(1024 * gbad, sw + 14)
+                    return scan32(jnp.int32(0), qr, True, W) - s
+
+                # a mismatch found before the first DMA granule is exact;
+                # qend bound-exits (mis >= 4096*gA, incl. the n-bound
+                # sentinel) continue on the granule path
+                return jax.lax.cond(mis < 4096 * gA, short, granules, 0)
 
             def mode_generic(_):
                 k2, _, _, _, x2 = jax.lax.while_loop(
