@@ -294,19 +294,63 @@ def make_run_lookahead(buf_ref):
 
     def lookahead(pos, off, length, in_limit, out_room):
         t24 = load24(pos)
+        # probe cap: 16 tags per-tag, then (RLE-length runs) switch to a
+        # word scan — folded into the existing output-room compare so the
+        # per-tag body cost is unchanged
+        cap16 = length + jnp.int32(1024)
+        cap_tot = jnp.minimum(out_room, cap16)
 
-        def body(st):
-            p2, tot, go = st
-            same = ((p2 + 3 <= in_limit) & (tot + 64 <= out_room)
-                    & (load24(p2) == t24))
-            return (jax.lax.select(same, p2 + 3, p2),
-                    tot + jax.lax.select(same, jnp.int32(64),
-                                         jnp.int32(0)),
-                    same)
+        def tag_loop(p0, tot0, cap):
+            def body(st):
+                p2, tot, go = st
+                same = ((p2 + 3 <= in_limit) & (tot + 64 <= cap)
+                        & (load24(p2) == t24))
+                return (jax.lax.select(same, p2 + 3, p2),
+                        tot + jax.lax.select(same, jnp.int32(64),
+                                             jnp.int32(0)),
+                        same)
 
-        p2, tot, _ = jax.lax.while_loop(
-            lambda st: st[2], body,
-            (pos + 3, length, jnp.bool_(True)))
+            p2, tot, _ = jax.lax.while_loop(
+                lambda st: st[2], body, (p0, tot0, jnp.bool_(True)))
+            return p2, tot
+
+        p2, tot = tag_loop(pos + 3, length, cap_tot)
+
+        def word_scan(a):
+            """A run that survived the 16-tag probe has word period 3
+            (byte period 3 divides 12): verify 4 tags per 3-word compare
+            against the three carrier words of the confirmed region,
+            then resume the per-tag loop at the last verified 3-byte tag
+            boundary (which re-validates the tail exactly)."""
+            p2, tot = a
+            qs = p2 >> 2
+            Wa = buf_ref[qs - 3]
+            Wb = buf_ref[qs - 2]
+            Wc = buf_ref[qs - 1]
+            # bounds: input words below in_limit; output tags below
+            # out_room (each verified tag emits 64 bytes)
+            pb = p2 + 3 * ((out_room - tot) >> 6)
+            jlim = jnp.minimum((in_limit >> 2) - qs - 3,
+                               (pb >> 2) - qs - 3)
+
+            def body(st):
+                j, go = st
+                x = ((buf_ref[qs + j] ^ Wa)
+                     | (buf_ref[qs + j + 1] ^ Wb)
+                     | (buf_ref[qs + j + 2] ^ Wc))
+                return j + 3, (x == 0) & (j <= jlim)
+
+            j, _ = jax.lax.while_loop(
+                lambda st: st[1], body, (jnp.int32(0), jnp.bool_(True)))
+            vend = 4 * (qs + jnp.maximum(j - 3, 0))  # verified below this
+            ktags = jnp.maximum((vend - p2) // 3, 0)
+            return tag_loop(p2 + 3 * ktags, tot + 64 * ktags, out_room)
+
+        # tot reaches length+1024 only by coalescing all 16 probe tags
+        # (and only when out_room allowed it): the run is long — scan
+        p2, tot = jax.lax.cond(
+            tot == cap16, word_scan, lambda a: a, (p2, tot))
+
         t24b = load24(p2)
         ln2 = ((t24b & 0xFF) >> 2) + 1
         tail = ((p2 + 3 <= in_limit) & ((t24b & 3) == 2)
