@@ -211,6 +211,41 @@ class TestScalarDecoder:
                 assert outs[k] == bytes(ref_out), k
 
 
+    def test_run_mutant_decisions_match_oracle(self):
+        """Mutations inside long 0xFE copy runs drive the runs-walk
+        coalescer (16-tag probe, word-period scan, same-offset tail
+        merge): decisions and bytes must match the oracle exactly —
+        a flipped byte ends the identical scan mid-run, may forge a
+        different-offset tag, or may invalidate the stream."""
+        rng = random.Random(17)
+        for payload in (b"\x00" * 60000, (bytes(range(96)) * 700)[:60000]):
+            base = _tag_stream(payload)
+            bodies, decls = [], []
+            # targeted mutations in the run region (past the first ~8
+            # bytes of literal head) + a truncation mid-run
+            for _ in range(14):
+                b = bytearray(base)
+                i = rng.randrange(8, len(b))
+                b[i] ^= 1 << rng.randrange(8)
+                bodies.append(bytes(b))
+                decls.append(len(payload))
+            bodies.append(base[: len(base) - 2])   # truncated final tag
+            decls.append(len(payload))
+            meta, comp = decode_scalar.pack_chunks(bodies, decls)
+            out_w, status = decode_scalar.decode_chunks_words(
+                meta, comp, len(bodies), interpret=True
+            )
+            status = np.asarray(status)
+            outs = decode_scalar.unpack_output(
+                np.asarray(out_w), status[:, 0, 1])
+            for k in range(len(bodies)):
+                ref_out, ref_err = oracle.decode_all_tags(bodies[k], decls[k])
+                ref_ok = ref_err is None and len(ref_out) == decls[k]
+                assert bool(status[k, 0, 0]) == ref_ok, (payload[:4], k)
+                if ref_ok:
+                    assert outs[k] == bytes(ref_out), (payload[:4], k)
+
+
 class TestScalarEncoder:
     def test_blocks_encode_decodable_and_dense(self):
         meta, inw = encode_scalar.pack_blocks(PAYLOADS)
