@@ -147,22 +147,29 @@ def bench_host(datasets):
             f"(ours {total_b/ours_best/1e9:.3f} GB/s, "
             f"{cpp_best/ours_best:.2f}x of C++)"
         )
-        # Decode control (interleaved best-of, same corpus): every
-        # below-baseline host decode number gets the same proportionality
-        # defense as encode.
-        encs = [(host_codec.raw_compress(d), len(d)) for _, d in items]
+        # Decode control (interleaved best-of, same corpus, REUSED
+        # buffers on both sides — the same methodology as the per-file
+        # table and the reference's own harness; an alloc-vs-alloc
+        # variant mostly measured the two allocators): every
+        # below-baseline host decode number gets the same
+        # proportionality defense as encode.
+        encs = [
+            (host_codec.raw_compress(d), bytearray(len(d)))
+            for _, d in items
+        ]
         dec_ours_best = dec_cpp_best = None
+        s_mod = __import__("snappy_tpu")
         for _ in range(7):
             t0 = time.perf_counter()
-            for e, n in encs:
-                host_codec.raw_uncompress(e, n)
+            for e, ob in encs:
+                s_mod.uncompress_into(e, ob)
             dt = time.perf_counter() - t0
             dec_ours_best = (
                 dt if dec_ours_best is None or dt < dec_ours_best else dec_ours_best
             )
             t0 = time.perf_counter()
-            for e, _ in encs:
-                cpp_snappy.decode(e)
+            for e, ob in encs:
+                cpp_snappy.decode_into(e, ob)
             dt = time.perf_counter() - t0
             dec_cpp_best = (
                 dt if dec_cpp_best is None or dt < dec_cpp_best else dec_cpp_best
@@ -208,8 +215,11 @@ def bench_host(datasets):
     )
     if cpp_snappy.available():
         # Same-machine A/B on the big single raw stream (the reference's
-        # 38 MB ssz line, README.md:123, is its strongest decode number).
-        td_cpp = mean_time(lambda: cpp_snappy.decode(renc), samples=5)
+        # 38 MB ssz line, README.md:123, is its strongest decode number);
+        # reused output buffer on both sides.
+        td_cpp = mean_time(
+            lambda: cpp_snappy.decode_into(renc, big_out), samples=5
+        )
         log(
             f"raw    {len(big)/1e6:.0f}MB single-stream C++ decode: "
             f"{len(big)/td_cpp/1e9:.3f} GB/s (ours {len(big)/td/1e9:.3f}, "

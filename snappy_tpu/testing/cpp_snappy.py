@@ -123,3 +123,19 @@ def decode(data: bytes) -> Optional[bytes]:
     if rc != _SNAPPY_OK:
         return None
     return out.raw[: out_len.value]
+
+
+def decode_into(data: bytes, out) -> Optional[int]:
+    """Decompress with google/snappy into a caller-provided writable
+    buffer (ctypes array / numpy array / writable memoryview); returns
+    the written length or None.  The reused-buffer counterpart of
+    ``decode`` for clock-for-clock benchmark controls — the reference's
+    harness also decodes into preallocated buffers (benchmark.nim)."""
+    lib = _load()
+    assert lib is not None
+    buf = (ctypes.c_char * len(out)).from_buffer(out)
+    out_len = ctypes.c_size_t(len(out))
+    rc = lib.snappy_uncompress(data, len(data), buf, ctypes.byref(out_len))
+    if rc != _SNAPPY_OK:
+        return None
+    return out_len.value
