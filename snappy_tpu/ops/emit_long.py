@@ -265,35 +265,98 @@ def make_scan_eq(src_ref, vbuf_ref, sems):
             vbuf_ref.at[pl.ds(pl.multiple_of(slot * G, G), G)],
             sems.at[slot])
 
-    def scan_eq(g0, glim, W):
-        def run(_):
-            dma(g0, jnp.int32(0)).start()
+    def make(use_tile: bool):
+        def scan(g0, glim, W, gref):
+            def run(_):
+                if use_tile:
+                    # reference granule -> slot 2 (waited before the
+                    # first compare; slot-0 sem is reused afterwards)
+                    ref_cp = pltpu.make_async_copy(
+                        src_ref.at[pl.ds(pl.multiple_of(gref * G, G), G)],
+                        vbuf_ref.at[pl.ds(pl.multiple_of(2 * G, G), G)],
+                        sems.at[0])
+                    ref_cp.start()
+                    ref_cp.wait()
+                dma(g0, jnp.int32(0)).start()
 
+                def body(st):
+                    g, _go, _eq = st
+
+                    @pl.when(g + 1 < glim)
+                    def _():
+                        dma(g + 1, (g + 1 - g0) & 1).start()
+
+                    dma(g, (g - g0) & 1).wait()
+                    slot_off = pl.multiple_of(((g - g0) & 1) * G, G)
+                    T = vbuf_ref[pl.ds(slot_off, G)].reshape(8, 128)
+                    if use_tile:
+                        Tref = vbuf_ref[pl.ds(pl.multiple_of(2 * G, G),
+                                              G)].reshape(8, 128)
+                        eq = jnp.all(T == Tref)
+                    else:
+                        eq = jnp.all(T == W)
+                    return g + 1, eq & (g + 1 < glim), eq
+
+                gex, _, eq_last = jax.lax.while_loop(
+                    lambda st: st[1], body,
+                    (g0, jnp.bool_(True), jnp.bool_(True)))
+                # drain the in-flight prefetch the exit iteration started
+                @pl.when(gex < glim)
+                def _():
+                    dma(gex, (gex - g0) & 1).wait()
+
+                return jax.lax.select(eq_last, glim, gex - 1)
+
+            return jax.lax.cond(g0 < glim, run, lambda _: glim, 0)
+
+        return scan
+
+    scan_eq_w = make(False)
+    scan_eq_t = make(True)
+
+    def scan_eq(g0, glim, W):
+        return scan_eq_w(g0, glim, W, jnp.int32(0))
+
+    def scan_eq_tile(g0, glim, gref):
+        """Tile variant: granules compare against reference granule
+        ``gref`` (fully pattern-content, caller-guaranteed) — serves any
+        period dividing 4096 (power-of-two offsets up to a page), where
+        a single broadcast word cannot express the pattern."""
+        return scan_eq_t(g0, glim, jnp.int32(0), gref)
+
+    def scan_eq_pair(g0, glim, gshift):
+        """Two-stream variant for offsets that are MULTIPLES of 4096
+        (page-duplicate matches, where the hash table usually locks on
+        at 2+ pages back): both streams are granule-aligned, so compare
+        granule g against granule g - gshift directly — the sequential
+        scan makes the usual induction hold (each equal pair extends
+        the verified region by one granule).  Serial per-granule DMAs
+        into slots 0/1 (the two copies overlap each other in flight)."""
+
+        def run(_):
             def body(st):
                 g, _go, _eq = st
-
-                @pl.when(g + 1 < glim)
-                def _():
-                    dma(g + 1, (g + 1 - g0) & 1).start()
-
-                dma(g, (g - g0) & 1).wait()
-                slot_off = pl.multiple_of(((g - g0) & 1) * G, G)
-                T = vbuf_ref[pl.ds(slot_off, G)].reshape(8, 128)
-                eq = jnp.all(T == W)
+                ca = dma(g, jnp.int32(0))
+                cb = dma(g - gshift, jnp.int32(1))
+                ca.start()
+                cb.start()
+                ca.wait()
+                cb.wait()
+                Ta = vbuf_ref[pl.ds(0, G)].reshape(8, 128)
+                Tb = vbuf_ref[pl.ds(pl.multiple_of(G, G), G)].reshape(
+                    8, 128)
+                eq = jnp.all(Ta == Tb)
                 return g + 1, eq & (g + 1 < glim), eq
 
             gex, _, eq_last = jax.lax.while_loop(
                 lambda st: st[1], body,
                 (g0, jnp.bool_(True), jnp.bool_(True)))
-            # drain the in-flight prefetch the exiting iteration started
-            @pl.when(gex < glim)
-            def _():
-                dma(gex, (gex - g0) & 1).wait()
-
             return jax.lax.select(eq_last, glim, gex - 1)
 
         return jax.lax.cond(g0 < glim, run, lambda _: glim, 0)
 
+    scan_eq.tile = scan_eq_tile
+    scan_eq.pair = scan_eq_pair
     return scan_eq
 
 

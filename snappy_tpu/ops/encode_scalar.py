@@ -454,8 +454,37 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
 
             def mode_aligned(_):
                 # byte phase cancels (c % 4 == s % 4): raw words at equal
-                # indices-from-base compare the same stream-relative spans
-                return scan32(cw + 15, sw + 15, False, jnp.int32(0)) - s
+                # indices-from-base compare the same stream-relative
+                # spans.  Offsets dividing 4096 (period | page: 8, 16,
+                # ..., 4096 — the page/record-duplicate class) extend
+                # the mode-B granule handoff: granule content repeats
+                # every granule, so the VPU compares each against a
+                # reference granule taken from the already-confirmed
+                # region (emit_long scan_eq.tile).
+                gA = ((sw + 15) >> 10) + 2
+                tile1 = (4096 % off) == 0      # period divides a granule
+                tile2 = (off & 4095) == 0      # offset = whole granules
+                tile_ok = tile1 | tile2
+                qend = jax.lax.select(tile_ok, 1024 * gA,
+                                      jnp.int32(0x7FFFFFF))
+                mis = scan32(cw + 15, sw + 15, False, jnp.int32(0),
+                             qend=qend)
+
+                def short(_):
+                    return mis - s
+
+                def granules(_):
+                    glim = n >> 12
+                    gbad = jax.lax.cond(
+                        tile1,
+                        lambda _: scan_eq.tile(gA, glim, gA - 1),
+                        lambda _: scan_eq.pair(gA, glim, off >> 12), 0)
+                    qr = jnp.maximum(1024 * gbad, sw + 15)
+                    return scan32(qr - (off >> 2), qr, False,
+                                  jnp.int32(0)) - s
+
+                return jax.lax.cond(
+                    tile_ok & (mis >= 4096 * gA), granules, short, 0)
 
             def mode_pattern(_):
                 # word period divides 4: every aligned word in the run

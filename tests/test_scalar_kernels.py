@@ -281,6 +281,11 @@ class TestScalarEncoder:
             # period breaks mid-run, then resumes
             b"q" * 30000 + b"BREAK" + b"q" * 30000,
             b"rs" * 15000 + b"!" + b"rs" * 15000,
+            # breaks inside the granule-tile path (off | 4096):
+            bytes(range(8)) * 4000 + b"X" + bytes(range(8)) * 4000,
+            r.randbytes(4096) * 8 + b"Y" + r.randbytes(4096) * 7,
+            # break just past a granule boundary and near the bound
+            bytes(range(16)) * 780 + b"Z" + bytes(range(16)) * 3000,
             # long match ending exactly at / near the block end
             (b"m" * 200 + r.randbytes(64)) + b"m" * 65272,
             r.randbytes(100) * 655 + r.randbytes(36),
