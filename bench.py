@@ -578,7 +578,10 @@ def main():
         # call cannot be interrupted in-process).
         import subprocess
 
-        timeout = int(os.environ.get("SNAPPY_TPU_BENCH_DEVICE_TIMEOUT", "900"))
+        # 2400 s: a cold/slow relay day needs room for remote recompiles —
+        # a premature kill loses the whole section AND can wedge the
+        # tunnel pool for ~20 min (a client killed mid-remote-compile).
+        timeout = int(os.environ.get("SNAPPY_TPU_BENCH_DEVICE_TIMEOUT", "2400"))
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--device-only"],
@@ -589,7 +592,10 @@ def main():
             sys.stderr.write(r.stderr.decode(errors="replace"))
             if r.returncode != 0:
                 log(f"device bench exited with {r.returncode}")
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # keep whatever per-step lines completed before the timeout
+            if e.stderr:
+                sys.stderr.write(e.stderr.decode(errors="replace"))
             log(f"device bench timed out after {timeout}s (tunnel unhealthy?)")
         except Exception as e:
             log(f"device bench failed: {type(e).__name__}: {e}")
