@@ -53,6 +53,19 @@ class TestCorpusCross:
             ours = engine.raw_compress(data, backend=backend)
             assert cpp_snappy.decode(ours) == data, backend
 
+    def test_cpp_decode_into_reused_buffer(self):
+        """The reused-buffer C++ control entry point (bench methodology):
+        exact bytes into a caller buffer, None on malformed input, and a
+        too-small buffer rejected rather than overrun."""
+        data = corpus.read_data("html") or b"snappy_tpu" * 4000
+        enc = cpp_snappy.encode(data)
+        out = bytearray(len(data))
+        n = cpp_snappy.decode_into(enc, out)
+        assert n == len(data) and bytes(out) == data
+        assert cpp_snappy.decode_into(b"\xff\xff\xff\xff\xff", out) is None
+        small = bytearray(len(data) // 2)
+        assert cpp_snappy.decode_into(enc, small) is None
+
     def test_golden_rawsnappy_matches_cpp_decode(self):
         # The golden file's line endings differ from the plaintext file, so
         # like the reference (test_snappy.nim:71-79) we assert our decode

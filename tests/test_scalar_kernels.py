@@ -299,6 +299,35 @@ class TestScalarEncoder:
         for k, blk in enumerate(blocks):
             assert encs[k] == oracle.encode_block(blk), f"block {k}"
 
+    def test_long_match_modes_randomized(self):
+        """Seeded randomized sweep over the long-match mode space:
+        random periods (pattern/aligned/generic/page classes), random
+        break positions (incl. near granule boundaries and the block
+        end), random block sizes.  Byte identity vs the oracle is the
+        invariant."""
+        r = random.Random(57)
+        blocks = []
+        for period in (1, 2, 3, 5, 8, 12, 64, 512, 4096, 8192):
+            pat = bytes(r.randrange(256) for _ in range(period))
+            n = r.choice((65536, 65536, 40000, 65521))
+            blk = bytearray((pat * (n // period + 2))[:n])
+            for _ in range(r.randrange(4)):
+                # flip a byte somewhere, biased toward granule edges
+                i = r.choice((
+                    r.randrange(n),
+                    min(n - 1, 4096 * r.randrange(1, 16) + r.randrange(-32, 32)),
+                    n - 1 - r.randrange(70),
+                ))
+                blk[i] ^= 0x5A
+            blocks.append(bytes(blk))
+        meta, inw = encode_scalar.pack_blocks(blocks)
+        enc_w, elen = encode_scalar.encode_blocks_words(
+            meta, inw, len(blocks), interpret=True)
+        encs = encode_scalar.unpack_enc(
+            np.asarray(enc_w), np.asarray(elen)[:, 0, 0])
+        for k, blk in enumerate(blocks):
+            assert encs[k] == oracle.encode_block(blk), f"case {k}"
+
     def test_corpus_blocks_byte_identical_to_oracle(self, corpus_root):
         """Every 64 KiB block of the benchmark corpus encodes to exactly
         the oracle's bytes (stronger than the reference's own cross-
