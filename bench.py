@@ -368,7 +368,7 @@ def bench_device(datasets):
         diem, diin = jax.device_put(iem), jax.device_put(iin)
         ienc_t = pipelined_time(
             lambda: encode_scalar.encode_blocks_words(diem, diin, NB),
-            samples=3,
+            samples=8,
         )
         log(
             f"device block encode (incompressible x{NB}, DMA literal"
@@ -383,7 +383,7 @@ def bench_device(datasets):
         drem, drin = jax.device_put(rem), jax.device_put(rin)
         renc_t = pipelined_time(
             lambda: encode_scalar.encode_blocks_words(drem, drin, NB),
-            samples=3,
+            samples=8,
         )
         log(
             f"device block encode (RLE x{NB}, long-match modes): "
@@ -466,7 +466,7 @@ def bench_device(datasets):
                 diwords, jnp.int32(len(ibody)), jnp.int32(idecl),
                 i_win, i_steps, False
             ),
-            samples=3,
+            samples=8,
         )
         log(
             f"device raw stream decode (48 MB incompressible, DMA"
@@ -490,7 +490,7 @@ def bench_device(datasets):
                 drwords, jnp.int32(len(rbody)), jnp.int32(rdecl),
                 r_win, r_steps, False
             ),
-            samples=3,
+            samples=8,
         )
         log(
             f"device raw stream decode (48 MB RLE, coalesced runs +"
