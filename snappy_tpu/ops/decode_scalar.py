@@ -207,12 +207,18 @@ def _make_kernel(cw_pad: int, out_words: int):
                 consumed = hdr + jax.lax.select(is_lit, length, 0)
 
                 # --- validation (decoder.nim:54-79, 111-113) ---
+                # Folded with unsigned-wrap compares (decoder.nim:111's
+                # `offset - 1` trick, and its analog for `consumed`):
+                # consumed < 0 (int32 wraparound of hdr + length) becomes
+                # a huge uint32, so ONE unsigned compare covers both the
+                # input-overrun and the wraparound test; likewise
+                # (off - 1) u>= w covers off <= 0 and off > w exactly.
                 bad = needs & (ext_val < 0)
-                # consumed > n - pos is overflow-safe (n - pos is small);
-                # consumed < 0 catches hdr + length int32 wraparound
-                bad |= (consumed > n - pos) | (consumed < 0)
+                bad |= consumed.astype(jnp.uint32) > (n - pos).astype(
+                    jnp.uint32)
                 bad |= length > m - w
-                bad |= (~is_lit) & ((off <= 0) | (off > w))
+                bad |= (~is_lit) & (
+                    (off - 1).astype(jnp.uint32) >= w.astype(jnp.uint32))
 
                 if with_runs:
                     # Long matches hit the wire as runs of max-length

@@ -1009,10 +1009,16 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
                 b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
 
                 pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
+                # unsigned-wrap folds (decoder.nim:111 trick): pay_end < 0
+                # becomes a huge uint32, and (off - 1) u>= reach covers
+                # off <= 0 and off > reach in one compare
                 special = needs & ((ext_val < 0) | (length < 0))
-                special |= is_lit & ((pay_end > navail) | (pay_end < 0))
+                special |= is_lit & (
+                    pay_end.astype(jnp.uint32) > navail.astype(jnp.uint32))
                 special |= (~is_lit) & (
-                    (pos + hdr > navail) | (off <= 0) | (off > hist_cap + w)
+                    (pos + hdr > navail)
+                    | ((off - 1).astype(jnp.uint32)
+                       >= (hist_cap + w).astype(jnp.uint32))
                 )
                 special |= length > m - w
                 if with_long:
