@@ -189,68 +189,117 @@ def _make_kernel(cw_pad: int, out_words: int):
             """One full tag walk.  The long-literal DMA dispatch and the
             copy-run coalescer each cost a few ops per tag, so they are
             instantiated as separate walks selected per CHUNK (below) —
-            text chunks pay zero per-tag cost for either."""
+            text chunks pay zero per-tag cost for either.
+
+            The non-runs walks use a two-tier fast/slow structure (the
+            grid kernel's design): the FAST loop has no near-copy arm at
+            all — near copies (off < 4, <= 0.35% of tags outside the RLE
+            class) fold into the same unsigned-wrap compare that catches
+            invalid offsets and stop the loop; a cold full-validation
+            round resolves that one tag and the fast loop resumes.  The
+            runs walk keeps its original single loop (near pattern fills
+            are its hot path)."""
             dispatch = scalar_emit.make_tag_dispatch(
                 emit_mem, do_copy_near, out_base_b, scr_b, BUF_CAP,
                 emit_long=emit_long if with_long else None,
                 long_t=emit_long_mod.LONG_T,
                 emit_fill=emit_fill if with_runs else None, gbyte=gbyte,
+                handle_near=with_runs,
+            )
+            dispatch_slow = scalar_emit.make_tag_dispatch(
+                emit_mem, do_copy_near, out_base_b, scr_b, BUF_CAP,
+                emit_long=emit_long if with_long else None,
+                long_t=emit_long_mod.LONG_T,
             )
 
             lookahead = scalar_emit.make_run_lookahead(buf_ref)
 
-            def tag_step(state):
-                pos, w, err = state
+            def parse_validate(pos, w):
+                """Shared parse + EXACT validation (decoder.nim:54-79,
+                111-113), folded with unsigned-wrap compares
+                (decoder.nim:111's `offset - 1` trick, and its analog
+                for `consumed`: int32 wraparound of hdr + length becomes
+                a huge uint32, so one compare covers the input-overrun
+                and wraparound tests together)."""
                 b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
-                # uint32 wraparound (ext_val == 0xffffffff) and lengths
-                # >= 2^31 cannot fit any 64 KiB output: sign bit = error.
                 consumed = hdr + jax.lax.select(is_lit, length, 0)
-
-                # --- validation (decoder.nim:54-79, 111-113) ---
-                # Folded with unsigned-wrap compares (decoder.nim:111's
-                # `offset - 1` trick, and its analog for `consumed`):
-                # consumed < 0 (int32 wraparound of hdr + length) becomes
-                # a huge uint32, so ONE unsigned compare covers both the
-                # input-overrun and the wraparound test; likewise
-                # (off - 1) u>= w covers off <= 0 and off > w exactly.
                 bad = needs & (ext_val < 0)
                 bad |= consumed.astype(jnp.uint32) > (n - pos).astype(
                     jnp.uint32)
                 bad |= length > m - w
+                return b, hdr, is_lit, length, off, consumed, bad
+
+            def tag_step_runs(state):
+                pos, w, err = state
+                b, hdr, is_lit, length, off, consumed, bad = \
+                    parse_validate(pos, w)
                 bad |= (~is_lit) & (
                     (off - 1).astype(jnp.uint32) >= w.astype(jnp.uint32))
 
-                if with_runs:
-                    # Long matches hit the wire as runs of max-length
-                    # copy tags (0xFE) ending in one shorter tag at the
-                    # SAME offset (encoder.nim:83-111): coalesce run +
-                    # tail into ONE emit (scalar_emit.make_run_lookahead
-                    # — entry/body costs measured in e29).  Each
-                    # coalesced tag costs ~12 ops instead of the
-                    # ~100-op full round.
-                    run = (b == jnp.int32(0xFE)) & (~bad)
-                    tot, extra = jax.lax.cond(
-                        run,
-                        lambda _: lookahead(pos, off, length, n, m - w),
-                        lambda _: (length, jnp.int32(0)), 0)
-                    eff = tot
-                    consumed = consumed + extra
-                else:
-                    eff = length
+                # Long matches hit the wire as runs of max-length copy
+                # tags (0xFE) ending in one shorter tag at the SAME
+                # offset (encoder.nim:83-111): coalesce run + tail into
+                # ONE emit (scalar_emit.make_run_lookahead — entry/body
+                # costs measured in e29).
+                run = (b == jnp.int32(0xFE)) & (~bad)
+                tot, extra = jax.lax.cond(
+                    run,
+                    lambda _: lookahead(pos, off, length, n, m - w),
+                    lambda _: (length, jnp.int32(0)), 0)
 
-                dispatch(pos, w, hdr, is_lit, off, bad, eff)
-
-                pos2 = jax.lax.select(bad, pos, pos + consumed)
-                w2 = jax.lax.select(bad, w, w + eff)
+                dispatch(pos, w, hdr, is_lit, off, bad, tot)
+                pos2 = jax.lax.select(bad, pos, pos + consumed + extra)
+                w2 = jax.lax.select(bad, w, w + tot)
                 return pos2, w2, err | bad
 
-            def cond(state):
+            def fast_step(state):
+                pos, w, _sp = state
+                b, hdr, is_lit, length, off, consumed, spec = \
+                    parse_validate(pos, w)
+                # ONE wrap compare covers off <= 0, off > w AND the
+                # near-copy exit (off < 4); the max() clamp is
+                # conservative only for w < 3 (chunk head), where the
+                # slow round re-validates exactly
+                spec |= (~is_lit) & (
+                    (off - 4).astype(jnp.uint32)
+                    >= jnp.maximum(w - 3, 0).astype(jnp.uint32))
+                dispatch(pos, w, hdr, is_lit, off, spec, length)
+                pos2 = jax.lax.select(spec, pos, pos + consumed)
+                w2 = jax.lax.select(spec, w, w + length)
+                return pos2, w2, spec
+
+            def slow_tag(a):
+                """Full-validation resolution of the one tag the fast
+                loop flagged (a near copy, a stream-head copy, or a
+                malformed tag)."""
+                pos, w = a
+                _b, hdr, is_lit, length, off, consumed, bad = \
+                    parse_validate(pos, w)
+                bad |= (~is_lit) & (
+                    (off - 1).astype(jnp.uint32) >= w.astype(jnp.uint32))
+                dispatch_slow(pos, w, hdr, is_lit, off, bad, length)
+                pos2 = jax.lax.select(bad, pos, pos + consumed)
+                w2 = jax.lax.select(bad, w, w + length)
+                return pos2, w2, bad
+
+            def tag_round(state):
                 pos, w, err = state
-                return (pos < n) & (~err)
+                pos, w, sp = jax.lax.while_loop(
+                    lambda fs: (fs[0] < n) & (~fs[2]),
+                    fast_step,
+                    (pos, w, jnp.bool_(False)),
+                )
+                return jax.lax.cond(
+                    sp, slow_tag, lambda a: (a[0], a[1], jnp.bool_(False)),
+                    (pos, w))
 
             def walk():
+                if with_runs:
+                    return jax.lax.while_loop(
+                        lambda st: (st[0] < n) & (~st[2]), tag_step_runs,
+                        (jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
                 return jax.lax.while_loop(
-                    cond, tag_step,
+                    lambda st: (st[0] < n) & (~st[2]), tag_round,
                     (jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
 
             return walk

@@ -908,6 +908,13 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS,
             emit_fill=emit_fill, gbyte=gbyte_g,
         )
+        # fast-loop variant with NO near-copy arm: near copies (off < 4,
+        # <= 0.35% of tags outside the RLE class) route through `special`
+        # to the slow step, dropping an always-paid ~15 ns branch per tag
+        dispatch_fast = scalar_emit.make_tag_dispatch(
+            emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS,
+            handle_near=False,
+        )
         _TRUE = jnp.bool_(True)
 
         def do_copy(w, off, length):
@@ -1002,7 +1009,7 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
             variant is byte-for-byte the round-2 loop, so text windows
             pay zero per-tag cost."""
             sdisp = dispatch_long if with_long else dispatch
-            fdisp = dispatch_runs if with_runs else dispatch
+            fdisp = dispatch_runs if with_runs else dispatch_fast
 
             def fast_step(s):
                 pos, w, _ = s
@@ -1010,16 +1017,25 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
 
                 pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
                 # unsigned-wrap folds (decoder.nim:111 trick): pay_end < 0
-                # becomes a huge uint32, and (off - 1) u>= reach covers
-                # off <= 0 and off > reach in one compare
+                # becomes a huge uint32, and ONE wrap compare covers the
+                # offset's invalid cases (off <= 0, off > reach) together
+                # with the special ones the slow step resolves
                 special = needs & ((ext_val < 0) | (length < 0))
                 special |= is_lit & (
                     pay_end.astype(jnp.uint32) > navail.astype(jnp.uint32))
-                special |= (~is_lit) & (
-                    (pos + hdr > navail)
-                    | ((off - 1).astype(jnp.uint32)
-                       >= (hist_cap + w).astype(jnp.uint32))
-                )
+                if with_runs:
+                    # runs walk keeps near copies in the fast loop (its
+                    # coalesced pattern fills live in the near arm)
+                    off_special = (off - 1).astype(jnp.uint32) >= (
+                        hist_cap + w).astype(jnp.uint32)
+                else:
+                    # also trap near copies (off < 4) for the slow step;
+                    # the max() clamp is conservative only when reach < 3
+                    # (stream head), where the slow step re-validates
+                    # exactly
+                    off_special = (off - 4).astype(jnp.uint32) >= (
+                        jnp.maximum(hist_cap + w - 3, 0)).astype(jnp.uint32)
+                special |= (~is_lit) & ((pos + hdr > navail) | off_special)
                 special |= length > m - w
                 if with_long:
                     special |= is_lit & (length >= emit_long_mod.LONG_T)

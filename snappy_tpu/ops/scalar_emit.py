@@ -364,7 +364,8 @@ def make_run_lookahead(buf_ref):
 
 def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
                       buf_cap_words: int, emit_long=None,
-                      long_t: int = 4096, emit_fill=None, gbyte=None):
+                      long_t: int = 4096, emit_fill=None, gbyte=None,
+                      handle_near: bool = True):
     """The shared redirect-emit idiom used by every tag loop.
 
     One branchless ``emit_mem`` serves literals and far copies alike;
@@ -386,10 +387,21 @@ def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
     dispatch(pos, w, hdr, is_lit, off, suppress, eff):
       suppress — tag must not emit for real
       eff      — bytes to emit, >= 0, already capped by the caller
+
+    ``handle_near=False`` builds a variant with NO near-copy arm at all
+    (not even the untaken branch — ~15 ns per tag on the in-order
+    pipeline, e15): callers must route near copies (off < 4) through
+    ``suppress`` and resolve them in their cold path.  Near copies are
+    <= 0.35% of tags on every corpus class except kppkn (3.6%) and the
+    RLE class — whose runs walk keeps the near-capable dispatch for its
+    coalesced pattern fills.
     """
 
     def dispatch(pos, w, hdr, is_lit, off, suppress, eff):
-        near = (~is_lit) & (off < 4) & (~suppress)
+        if handle_near:
+            near = (~is_lit) & (off < 4) & (~suppress)
+        else:
+            near = jnp.bool_(False)  # near copies arrive suppressed
         if emit_long is not None:
             # hot-path cost: one compare + two ands (the v>=0 guard and
             # the word-loop fallback live inside the rare branch)
@@ -406,36 +418,39 @@ def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
         carry_ok = is_lit | (off >= 8) | redirect
         emit_mem(dst, ln_eff, src, carry_ok)
 
-        @pl.when(near)
-        def _():
-            if emit_fill is not None:
-                # coalesced near-copy runs (RLE class): offsets 1/2 fill
-                # with ONE word value per aligned position (the byte
-                # period divides 4) — VPU broadcast + granule DMA
-                # (ops/emit_long.make_emit_fill) instead of the 2-words-
-                # per-iteration scalar pattern loop.  Cold branch: only
-                # the low-ratio runs walk passes emit_fill.
-                dst_b = out_base_b + w
-                big = (eff >= long_t) & (off < 3)
+        if handle_near:
 
-                @pl.when(big)
-                def _():
-                    b0 = gbyte(dst_b - off)
-                    b1 = gbyte(dst_b - off + (off >> 1))
-                    pat1 = b0 * jnp.int32(0x01010101)
-                    pat2 = b0 | (b1 << 8) | (b0 << 16) | (b1 << 24)
-                    pat2s = b1 | (b0 << 8) | (b1 << 16) | (b0 << 24)
-                    s_par = (dst_b - off) & 1
-                    wpat = jax.lax.select(
-                        off == 1, pat1,
-                        jax.lax.select(s_par == 0, pat2, pat2s))
-                    emit_fill(dst_b, eff, wpat)
+            @pl.when(near)
+            def _():
+                if emit_fill is not None:
+                    # coalesced near-copy runs (RLE class): offsets 1/2
+                    # fill with ONE word value per aligned position (the
+                    # byte period divides 4) — VPU broadcast + granule
+                    # DMA (ops/emit_long.make_emit_fill) instead of the
+                    # 2-words-per-iteration scalar pattern loop.  Cold
+                    # branch: only the low-ratio runs walk passes
+                    # emit_fill.
+                    dst_b = out_base_b + w
+                    big = (eff >= long_t) & (off < 3)
 
-                @pl.when(~big)
-                def _():
-                    do_copy_near(dst_b, off, eff)
-            else:
-                do_copy_near(out_base_b + w, off, eff)
+                    @pl.when(big)
+                    def _():
+                        b0 = gbyte(dst_b - off)
+                        b1 = gbyte(dst_b - off + (off >> 1))
+                        pat1 = b0 * jnp.int32(0x01010101)
+                        pat2 = b0 | (b1 << 8) | (b0 << 16) | (b1 << 24)
+                        pat2s = b1 | (b0 << 8) | (b1 << 16) | (b0 << 24)
+                        s_par = (dst_b - off) & 1
+                        wpat = jax.lax.select(
+                            off == 1, pat1,
+                            jax.lax.select(s_par == 0, pat2, pat2s))
+                        emit_fill(dst_b, eff, wpat)
+
+                    @pl.when(~big)
+                    def _():
+                        do_copy_near(dst_b, off, eff)
+                else:
+                    do_copy_near(out_base_b + w, off, eff)
 
         if emit_long is not None:
             @pl.when(long_lit)
