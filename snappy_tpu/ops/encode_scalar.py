@@ -17,9 +17,9 @@ cross-decodability).  Achieving that required three exact-parity details:
 
 * unwritten hash-table buckets read as position 0 (the reference's zeroed
   table makes position 0 a legal candidate, encoder.nim:237-238) — the
-  table is epoch-tagged int32 SMEM (entry = (chunk_epoch << 16) | pos) so
-  per-chunk zeroing happens once per *call*, but the epoch tag must not
-  change lookup semantics;
+  table is zeroed per chunk by one VMEM->SMEM DMA (~10 us, overlapped
+  with the kernel prologue) — an epoch-tagged variant avoided the
+  re-zeroing but cost ~6 ops on every probe (round 4, e30);
 * the probe loop checks ip+step against the limit BEFORE probing
   (encoder.nim:311-331) — the kernel suppresses the would-be hit at those
   tail positions, which is emission-equivalent;
@@ -53,10 +53,9 @@ MIN_NON_LITERAL = 17
 INPUT_MARGIN = 15
 
 
-def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
-            el_vbuf, el_hbuf, el_sems, el_semh):
+def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
+            el_vbuf, el_hbuf, el_sems, el_semh, sem_z):
     n = meta_ref[0, 0, 0]
-    epoch = pl.program_id(0) + 1
     # long-literal DMA emitter over the (1, 1, N) block views; the VMEM
     # scratch shares the shape family (Mosaic rejects cross-tiling DMA)
     emit_long = emit_long_mod.make_emit_long(
@@ -66,14 +65,19 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
     scan_eq = emit_long_mod.make_scan_eq(
         in_ref.at[0, 0], el_vbuf.at[0, 0], el_sems)
 
-    # One-time table clear (entries are epoch-checked afterwards).
+    # Per-chunk table clear by ONE VMEM->SMEM DMA from a zero buffer
+    # (~10 us, started here and waited just before the probe loop).
+    # A zeroed table per chunk IS the reference's semantics directly
+    # (encoder.nim:237-238: unwritten bucket = position 0, a legal
+    # candidate) — the previous epoch-tagged entries preserved those
+    # semantics without re-zeroing but cost ~6 ops on EVERY probe
+    # (tag pack/unpack + epoch compare + select on the hot path).
     @pl.when(pl.program_id(0) == 0)
     def _():
-        def z(i, c):
-            table_ref[i] = 0
-            return c
+        ztab_ref[...] = jnp.zeros((TABLE_SIZE,), jnp.int32)
 
-        jax.lax.fori_loop(0, TABLE_SIZE, z, 0)
+    zero_cp = pltpu.make_async_copy(ztab_ref, table_ref, sem_z)
+    zero_cp.start()
 
     def _funnel(wa, wb, sh):
         lo = (wa >> sh) & ((jnp.int32(1) << (32 - sh)) - 1)
@@ -311,14 +315,14 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
         return op + jax.lax.select(use1, 2, 3)
 
     def table_get_put(h, pos):
-        # An unwritten bucket must read as position 0, exactly like the
-        # reference's zeroed table (encoder.nim:237-238): a probe against
-        # a never-written bucket legitimately compares with (and can
-        # match) the block's first bytes.  The epoch tag only avoids
-        # re-zeroing between chunks; it must not change the semantics.
+        # The table is zeroed per chunk (DMA above), so an unwritten
+        # bucket reads as position 0 — exactly the reference's zeroed
+        # table (encoder.nim:237-238): a probe against a never-written
+        # bucket legitimately compares with (and can match) the block's
+        # first bytes.
         e = table_ref[h]
-        table_ref[h] = (epoch << 16) | pos
-        return jax.lax.select((e >> 16) == epoch, e & 0xFFFF, jnp.int32(0))
+        table_ref[h] = pos
+        return e
 
     def _tail_bytes(x):
         """Matching low bytes of a word-pair XOR (0..4)."""
@@ -607,7 +611,7 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
 
                 def chain_probe(x):
                     h1 = hash32(load32(x - 1), mask)
-                    table_ref[h1] = (epoch << 16) | (x - 1)
+                    table_ref[h1] = x - 1
                     u = load32(x)
                     h = hash32(u, mask)
                     c2 = table_get_put(h, x)
@@ -661,6 +665,7 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref,
         )
         return op
 
+    zero_cp.wait()
     op_final = jax.lax.cond(
         n < MIN_NON_LITERAL,
         lambda _: jax.lax.cond(
@@ -694,9 +699,11 @@ def _call(meta, in_words, nb: int, interpret: bool):
         ),
         scratch_shapes=[
             pltpu.SMEM((TABLE_SIZE,), jnp.int32),
+            pltpu.VMEM((TABLE_SIZE,), jnp.int32),
             pltpu.VMEM((1, 1, emit_long_mod.VB_WORDS), jnp.int32),
             pltpu.VMEM((1, 1, emit_long_mod.HB_WORDS), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
