@@ -286,19 +286,24 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
 
             op2 = jax.lax.cond(k64 >= 8, pattern_tags, scalar_tags,
                                (op_, k64))
-            return op2, rem - 64 * k64
+            rem2 = rem - 64 * k64
+
+            # 61-64 tail avoidance (encoder.nim:83-93): a 65-67 remainder
+            # would encode as 3+3 bytes; emit len 60 first.  Nested here
+            # so copies < 65 bytes — the overwhelming majority — pay ONE
+            # branch for the whole long-copy machinery.
+            def emit60(s):
+                op_, rem_ = s
+                pbyte(op_, (59 << 2) | 2)  # len 60
+                pbyte(op_ + 1, offset & 255)
+                pbyte(op_ + 2, (offset >> 8) & 255)
+                return op_ + 3, rem_ - 60
+
+            return jax.lax.cond(
+                rem2 > 64, emit60, lambda s: s, (op2, rem2))
 
         op, rem = jax.lax.cond(
-            length >= 68, emit_64s, lambda s: s, (op, length))
-
-        def emit60(s):
-            op_, rem_ = s
-            pbyte(op_, (59 << 2) | 2)  # len 60
-            pbyte(op_ + 1, offset & 255)
-            pbyte(op_ + 2, (offset >> 8) & 255)
-            return op_ + 3, rem_ - 60
-
-        op, rem = jax.lax.cond(rem > 64, emit60, lambda s: s, (op, rem))
+            length >= 65, emit_64s, lambda s: s, (op, length))
 
         use1 = (rem < 12) & (offset < 2048)
         # branchless 2-3 byte tag via one unaligned word store: later
