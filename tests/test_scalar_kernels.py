@@ -725,6 +725,20 @@ class TestCopyRunCoalescing:
             body, len(want), mode="grid", interpret=True)
         assert reason == "ok" and out == bytes(want)
 
+    def test_near_copy_at_stream_head(self):
+        # valid near copies while w < 3: the fast loop's conservative
+        # wrap-compare clamp flags them; the slow round must accept and
+        # emit them exactly (hand-built: 1-byte literal + tiny copies)
+        lit = TestLongLiteralDMAEmit._lit
+        c2 = TestLongLiteralDMAEmit._copy2
+        c1 = bytes([((4 - 4) << 2) | 1 | (0 << 5), 1])  # copy1 len4 off1
+        for body in (
+            lit(b"a") + c1,                              # w=1, off=1
+            lit(b"ab") + c2(2, 6),                       # w=2, off=2
+            lit(b"a") + c2(1, 2) + c2(3, 5),             # chained tiny
+        ):
+            self._check_body(body)
+
     def test_off2_fill_odd_parity(self):
         # a 1-byte prefix shifts the pattern-origin parity: the fill
         # word must follow the (dst - off) & 1 phase
