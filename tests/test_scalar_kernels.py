@@ -745,6 +745,27 @@ class TestCopyRunCoalescing:
         self._check_chunk(b"x" + b"ab" * 25000)
         self._check_chunk(b"xy" + b"ba" * 25000 + b"tail")
 
+    def test_near_copies_at_window_boundaries(self):
+        # near copies placed so their emission straddles 64 KiB window
+        # boundaries: exercises the fast loop's conservative near exit
+        # together with the split/pending machinery of the grid kernel
+        from snappy_tpu.ops import decode_stream
+        r = random.Random(61)
+        parts = []
+        total = 0
+        while total < 2 * 65536 + 500:
+            chunk = r.randbytes(r.randrange(40, 200))
+            rep = b"zx"[: 1 + r.randrange(2)] * r.randrange(30, 300)
+            parts += [chunk, rep]
+            total += len(chunk) + len(rep)
+        payload = b"".join(parts)
+        body = _tag_stream(payload)
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            body, len(payload), mode="grid", interpret=True)
+        assert reason == "ok" and out == payload
+        # and through the chunk kernel (per-64KiB chunks)
+        self._check_chunk(payload[:65536])
+
     def test_grid_class_transitions(self):
         # text -> incompressible -> RLE -> text sections, multi-window
         # each: exercises the 3-state walk flag switching (with its
