@@ -1125,9 +1125,14 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
 
             def tag_round(s):
                 pos, w, err, stop, pk, plen, poff = s
+                # Two exit terms only (pos bound, special) — the `w < m`
+                # term is redundant: at w == m every tag is special via
+                # the fused `length > m - w` compare (min tag length is
+                # 1), and the slow step's eff=0 split records a pending
+                # segment that the cross-window machinery services.
+                # Saves ~2 ops/tag in the hottest loop (A/B: e35).
                 pos, w, sp = jax.lax.while_loop(
-                    lambda fs: (fs[0] < navail_guard) & (~fs[2])
-                    & (fs[1] < m),
+                    lambda fs: (fs[0] < navail_guard) & (~fs[2]),
                     fast_step,
                     (pos, w, jnp.bool_(False)),
                 )
