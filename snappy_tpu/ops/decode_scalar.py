@@ -205,6 +205,7 @@ def _make_kernel(cw_pad: int, out_words: int):
                 long_t=emit_long_mod.LONG_T,
                 emit_fill=emit_fill if with_runs else None, gbyte=gbyte,
                 handle_near=with_runs,
+                emit_copy_dma=emit_long if with_runs else None,
             )
             dispatch_slow = scalar_emit.make_tag_dispatch(
                 emit_mem, do_copy_near, out_base_b, scr_b, BUF_CAP,

@@ -906,7 +906,7 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
         )
         dispatch_runs = scalar_emit.make_tag_dispatch(
             emit_mem, do_copy_near, G_OUT_BASE_B, G_SCR_B, G_BUF_WORDS,
-            emit_fill=emit_fill, gbyte=gbyte_g,
+            emit_fill=emit_fill, gbyte=gbyte_g, emit_copy_dma=emit_long,
         )
         # fast-loop variant with NO near-copy arm: near copies (off < 4,
         # <= 0.35% of tags outside the RLE class) route through `special`

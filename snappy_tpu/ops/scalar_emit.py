@@ -365,7 +365,8 @@ def make_run_lookahead(buf_ref):
 def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
                       buf_cap_words: int, emit_long=None,
                       long_t: int = 4096, emit_fill=None, gbyte=None,
-                      handle_near: bool = True):
+                      handle_near: bool = True, emit_copy_dma=None,
+                      long_copy_t: int = 16384):
     """The shared redirect-emit idiom used by every tag loop.
 
     One branchless ``emit_mem`` serves literals and far copies alike;
@@ -395,6 +396,17 @@ def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
     <= 0.35% of tags on every corpus class except kppkn (3.6%) and the
     RLE class — whose runs walk keeps the near-capable dispatch for its
     coalesced pattern fills.
+
+    When ``emit_copy_dma`` (an emit_long over the SAME unified buffer) is
+    given, coalesced FAR-offset periodic runs of >= ``long_copy_t`` bytes
+    redirect to a DMA self-copy: bootstrap ``D - off`` bytes with the
+    word loop so a granule-aligned source distance D exists (D = 8192
+    for power-of-two offsets <= 8192, D = off for page multiples), then
+    granule-copy at distance D — emit_long's direct path pipelines
+    granule g's read after granule g-2's write completed, so a D >= 2
+    granule self-copy doubles the pattern exactly like the reference's
+    scalar pattern loop (decoder.nim:130-144) at DMA rates.  Only the
+    runs walks pass this (the alignment test costs ~4 ops per dispatch).
     """
 
     def dispatch(pos, w, hdr, is_lit, off, suppress, eff):
@@ -408,7 +420,16 @@ def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
             long_lit = is_lit & (eff >= long_t) & (~suppress)
         else:
             long_lit = jnp.bool_(False)
-        redirect = suppress | near | long_lit
+        if emit_copy_dma is not None:
+            # far periodic run with a granule-expressible period:
+            # divisors of 8192 are exactly the powers of two <= 8192
+            d_ok = (((off & (off - 1)) == 0) & (off <= 8192)) | (
+                (off & 4095) == 0)
+            long_cop = ((~is_lit) & (off >= 4) & (eff >= long_copy_t)
+                        & d_ok & (~suppress))
+        else:
+            long_cop = jnp.bool_(False)
+        redirect = suppress | near | long_lit | long_cop
         src = jax.lax.select(is_lit, pos + hdr, out_base_b + w - off)
         src = jnp.clip(src, 0, jnp.int32(4 * (buf_cap_words - 4)))
         dst = jax.lax.select(redirect, jnp.int32(scr_b), out_base_b + w)
@@ -456,5 +477,22 @@ def make_tag_dispatch(emit_mem, do_copy_near, out_base_b: int, scr_b: int,
             @pl.when(long_lit)
             def _():
                 emit_long(out_base_b + w, eff, pos + hdr)
+
+        if emit_copy_dma is not None:
+            @pl.when(long_cop)
+            def _():
+                dst_b = out_base_b + w
+                # the source at distance D must lie inside the run's own
+                # already-written span or its validated original source
+                # (out[q] = out[q - off*k] holds for q - D >= dst_b - off)
+                D = jnp.maximum(off, jnp.int32(8192))
+                pre = jnp.maximum(D - off, 0)
+                # word-align the DMA start: head == 0 and phase == 0
+                # guarantee emit_long's direct (self-copy-safe) path
+                pre = pre + ((-(dst_b + pre)) & 4095)
+                # bootstrap bytes are the run pattern too (src dst-off),
+                # so the head's 11-byte overshoot writes correct values
+                emit_mem(dst_b, pre, dst_b - off, off >= 8)
+                emit_copy_dma(dst_b + pre, eff - pre, dst_b + pre - D)
 
     return dispatch

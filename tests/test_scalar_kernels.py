@@ -782,3 +782,95 @@ class TestCopyRunCoalescing:
         out, reason = decode_stream.decode_raw_stream_bytes(
             body, len(payload), mode="grid", interpret=True)
         assert reason == "ok" and out == payload
+
+
+class TestFarRunDMASelfCopy:
+    """The emit_copy_dma arm: coalesced far-offset periodic runs with a
+    granule-expressible period (power-of-two off <= 8192, or page
+    multiples) bootstrap D - off bytes by the word loop and granule-DMA
+    the rest at source distance D (scalar_emit.make_tag_dispatch)."""
+
+    def _check_chunk(self, payload):
+        body = _tag_stream(payload)
+        meta, comp = decode_scalar.pack_chunks([body], [len(payload)])
+        out_w, status = decode_scalar.decode_chunks_words(
+            meta, comp, 1, interpret=True)
+        status = np.asarray(status)
+        assert bool(status[0, 0, 0])
+        got = decode_scalar.unpack_output(np.asarray(out_w),
+                                          status[:, 0, 1])[0]
+        assert got == payload
+
+    def _check_grid(self, payload):
+        from snappy_tpu.ops import decode_stream
+        body = _tag_stream(payload)
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            body, len(payload), mode="grid", interpret=True)
+        assert reason == "ok" and out == payload
+
+    def _tile(self, period, seed, n):
+        r = random.Random(seed)
+        t = r.randbytes(period)
+        return (t * (n // period + 1))[:n]
+
+    def test_pow2_periods_chunk(self):
+        # every power-of-two period in the DMA-eligible range, one 64 KiB
+        # chunk each (eff crosses the 16 KiB gate mid-chunk)
+        for period in (4, 8, 16, 128, 1024, 4096, 8192):
+            self._check_chunk(self._tile(period, period, 60000))
+
+    def test_non_pow2_period_stays_on_word_loop(self):
+        # d_ok false: must decode via the carried-word funnel, unchanged
+        for period in (100, 3000, 5000):
+            self._check_chunk(self._tile(period, period, 60000))
+
+    def test_page_multiple_offsets_chunk(self):
+        # off = 12288 (3 pages): page-multiple arm, D = off, pre < 4096
+        self._check_chunk(self._tile(12288, 7, 64000))
+
+    def test_unaligned_run_starts(self):
+        # random literal prefixes shift the run start across all 4096
+        # phases the bootstrap must absorb
+        r = random.Random(77)
+        for pre_len in (1, 17, 4095, 4097, 12283):
+            payload = r.randbytes(pre_len) + self._tile(128, 5, 50000)
+            self._check_chunk(payload)
+
+    def test_eff_around_dma_gate(self):
+        # coalesced eff right around long_copy_t = 16384: both sides of
+        # the gate, and a run short enough that pre eats most of it
+        base = self._tile(256, 9, 300)
+        for run_len in (16380, 16384, 16400, 12290, 20000):
+            payload = base + self._tile(64, 11, run_len) + b"tailtail"
+            self._check_chunk(payload)
+
+    def test_grid_multiwindow_periodic(self):
+        # periodic runs spanning several 64 KiB grid windows: window
+        # resumes re-enter the DMA arm with history sources
+        self._check_grid(self._tile(128, 13, 3 * 65536 + 12345))
+        self._check_grid(self._tile(4096, 15, 4 * 65536 + 999))
+
+    def test_grid_mixed_classes_with_periodic(self):
+        r = random.Random(19)
+        payload = (r.randbytes(30000)
+                   + self._tile(512, 21, 90000)
+                   + b"z" * 40000
+                   + self._tile(8192, 23, 120000)
+                   + r.randbytes(5000))
+        self._check_grid(payload)
+        self._check_chunk(payload[:65536])
+
+    def test_oracle_parity_random_periods(self):
+        # randomized periods/lengths vs the scalar oracle decisions
+        r = random.Random(101)
+        parts = []
+        for _ in range(6):
+            period = r.choice([4, 8, 100, 128, 2048, 4096, 6000, 8192])
+            parts.append(self._tile(period, r.randrange(1 << 30),
+                                    r.randrange(20000, 80000)))
+            parts.append(r.randbytes(r.randrange(0, 300)))
+        payload = b"".join(parts)
+        body = _tag_stream(payload)
+        want, err = oracle.decode_all_tags(body, 1 << 22)
+        assert err is None and bytes(want) == payload
+        self._check_grid(payload)
