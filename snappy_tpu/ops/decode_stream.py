@@ -791,6 +791,7 @@ _GS_LONGF = 10    # walk mode: 0 plain / 1 long-literal / 2 copy-runs
 _GS_WPOS = 11     # comp cursor at the current window's start
 _GS_ODMA = 12     # 1: previous window's out->HBM flush still in flight
 _GS_HDMA = 13     # 1: previous window's out->history copy in flight
+_GS_CDMA = 14     # 1: next comp slice prefetch (to _GS_ALP) in flight
 
 
 def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
@@ -833,12 +834,22 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
     active = (~err_in) & (~done_in) & ((written_in < declared) | (pk0 > 0))
     al_cur = pl.multiple_of(((pos_t >> 2) >> 10) << 10, 1024)
 
-    # ---- deferred waits for the previous window's flush DMAs ----
-    # The out->HBM and out->history copies start at the previous step's
-    # end and overlap that step's epilogue + this step's comp fetch; the
-    # waits run UNCONDITIONALLY (inactive steps too, so a flush pending
-    # at `done` still completes before the kernel returns — the step
-    # budget leaves >= 2 spare steps) and precede every out-window write.
+    # ---- deferred waits for the previous step's DMAs ----
+    # The out->HBM flush, out->history copy, and the NEXT comp slice's
+    # prefetch all start at the previous step's end and overlap that
+    # step's epilogue + the grid-step transition; the waits run
+    # UNCONDITIONALLY (inactive steps too, so a DMA pending at `done`
+    # still completes before the kernel returns — the step budget leaves
+    # >= 2 spare steps) and precede every use of their target region.
+    @pl.when(ms[_GS_CDMA] == 1)
+    def _():
+        pltpu.make_async_copy(
+            comp_hbm.at[pl.ds(pl.multiple_of(ms[_GS_ALP], 1024), G_SCB)],
+            buf_ref.at[pl.ds(0, G_SCB)],
+            sem_c,
+        ).wait()
+        ms[_GS_CDMA] = 0
+
     @pl.when(active & ((g == 0) | (al_cur != ms[_GS_ALP])))
     def _():
         pltpu.make_async_copy(
@@ -1220,6 +1231,26 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
         ms[_GS_POFF] = poff
         ms[_GS_ERR] = jax.lax.select(err, 1, 0)
         ms[_GS_DONE] = jax.lax.select(done, 1, 0)
+
+        # ---- comp-slice double-buffering (round 5) ----
+        # The tag loop is done with the comp region, and pos_t2 pins the
+        # EXACT next slice — so the fetch starts here and lands across
+        # the window-flush epilogue + the grid-step transition instead of
+        # serializing at the next step's head (the next step's deferred
+        # wait above).  High-ratio streams (incompressible/RLE) change
+        # slices almost every step, so they gain the full fetch latency.
+        al_next = pl.multiple_of(((pos_t2 >> 2) >> 10) << 10, 1024)
+
+        @pl.when((~err) & (~done) & (pos_t2 < comp_len)
+                 & (al_next != ms[_GS_ALP]))
+        def _():
+            pltpu.make_async_copy(
+                comp_hbm.at[pl.ds(al_next, G_SCB)],
+                buf_ref.at[pl.ds(0, G_SCB)],
+                sem_c,
+            ).start()
+            ms[_GS_ALP] = al_next
+            ms[_GS_CDMA] = 1
 
     # final state (every step writes; last write wins)
     def wst(i, c):
