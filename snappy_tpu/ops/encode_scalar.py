@@ -571,7 +571,7 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
     # loop carries only 4 values and pays no phase dispatch per probe
     # (same two-tier insight as the grid decoder's fast/slow tag loop).
     def probe_body(s):
-        ip, skip, cand, hit = s
+        ip, skip, cand, hit, go = s
         bbh = skip >> 5
         u = load32(ip)
         h = hash32(u, mask)
@@ -581,19 +581,29 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
         # oracle's next_s > s_limit return); suppressing the hit here is
         # emission-equivalent — the stray table write is never read again
         # (the block ends immediately).
-        hit2 = (load32(c) == u) & (ip + bbh <= ip_limit)
-        ip2 = jax.lax.select(hit2, ip, ip + bbh)
-        return ip2, skip + bbh, c, hit2
+        #
+        # The bound check is computed ONCE and folded into both the hit
+        # suppression and the carried loop predicate: on a miss the loop
+        # condition would re-test exactly `ip + bbh <= ip_limit`, so
+        # carrying `go = inb & ~match` drops the duplicate compare plus
+        # the ~hit/& pair from the condition (round 5 A/B: e36).
+        nip = ip + bbh
+        inb = nip <= ip_limit
+        match = load32(c) == u
+        hit2 = match & inb
+        ip2 = jax.lax.select(hit2, ip, nip)
+        return ip2, skip + bbh, c, hit2, inb & (~match)
 
     def outer_body(st):
         ip, next_emit, op, done = st
         # probe until a match or until the next probe would cross ip_limit
         # (the skip heuristic: after 32 probes without a match, step 2
         # bytes, then 3, ... — encoder.nim:256-270)
-        ip, _, cand, hit = jax.lax.while_loop(
-            lambda p: (~p[3]) & (p[0] <= ip_limit),
+        ip, _, cand, hit, _ = jax.lax.while_loop(
+            lambda p: p[4],
             probe_body,
-            (ip, jnp.int32(32), jnp.int32(0), jnp.bool_(False)),
+            (ip, jnp.int32(32), jnp.int32(0), jnp.bool_(False),
+             ip <= ip_limit),
         )
 
         def on_hit(a):
