@@ -301,13 +301,12 @@ def uncompress_framed_into(
                 # The reference verifies this chunk's CRC *before* the
                 # size cap and before noticing it does not fit
                 # (snappy.nim:244-251); taken chunks are CRC-verified
-                # downstream, so only the reject/resume paths check here.
+                # downstream, so only the reject/resume paths check here —
+                # on the backend's own CRC engine (device: crc32c_jax).
                 if check_integrity:
-                    from .ops import crc32c_native
-
                     stored = int.from_bytes(data[data_pos : data_pos + 4], "little")
                     payload = data[data_pos + 4 : data_pos + data_len]
-                    if crc32c_native.masked_crc32c(payload) != stored:
+                    if engine.masked_crc32c(payload) != stored:
                         walk_err = FrameError.crc_mismatch
                         break
                 if inner > C.MAX_UNCOMPRESSED_FRAME_DATA_LEN:

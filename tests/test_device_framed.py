@@ -89,6 +89,89 @@ class TestDeviceFramed:
         out, reason = device_decode(data)
         assert reason == "ok" and out == payload
 
+    def test_device_path_never_calls_host_crc(self, monkeypatch):
+        """The device backend's success path is fully device-verified:
+        uncompressed-chunk CRCs go through the on-chip kernel, never
+        crc32c_native (round-5 VERDICT item 3; snappy.nim:231-233)."""
+
+        def boom(*a, **k):
+            raise AssertionError("host CRC called on the device path")
+
+        monkeypatch.setattr(crc32c_native, "masked_crc32c", boom)
+        monkeypatch.setattr(crc32c_native, "masked_crc32c_ptr", boom)
+
+        # mixed stream: a verbatim (uncompressed) first frame, compressed
+        # frames after — exercises both the batched device-CRC pass and
+        # the walk's CRC-before-resume path below
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        incompressible = rng.integers(0, 256, 70000, np.uint8).tobytes()
+        compressible = b"device framed " * 5000
+        payload = incompressible + compressible
+        enc = engine.framed_compress(payload, backend="device")
+        ids = [c.id for c in framing.scan_frames(enc, len(C.FRAMING_HEADER))]
+        assert C.CHUNK_UNCOMPRESSED in ids and C.CHUNK_COMPRESSED in ids
+        out, reason = device_decode(enc)
+        assert reason == "ok" and out == payload
+
+        # the resumable walk's reject-path CRC is device-routed too
+        from snappy_tpu import config
+
+        prev = config.get_backend()
+        config.set_backend("device")
+        try:
+            buf = bytearray(8192)  # too small: the big chunk hits the
+            res = s.uncompress_framed_into(enc, buf)  # CRC-before-resume
+            assert res.is_ok()
+        finally:
+            config.set_backend(prev)
+
+    def test_uncompressed_crc_mismatch_device(self):
+        """A corrupted VERBATIM chunk must fail with "crc" on the device
+        backend (the deferred batched CRC pass)."""
+        payload = b"\x37" + bytes(range(256)) * 20  # stays verbatim? force:
+        crc = crc32c_native.masked_crc32c(payload).to_bytes(4, "little")
+        data = (
+            C.FRAMING_HEADER
+            + hdr(C.CHUNK_UNCOMPRESSED, 4 + len(payload))
+            + crc
+            + payload
+        )
+        bad = bytearray(data)
+        bad[-1] ^= 0xA5  # corrupt payload, keep stored CRC
+        out, reason = device_decode(bytes(bad))
+        assert out is None and reason == "crc"
+        out, reason = device_decode(bytes(bad), check_integrity=False)
+        assert reason == "ok" and out == bytes(bad)[-len(payload):]
+
+    def test_error_order_uncompressed_crc_before_compressed_invalid(self):
+        """Chunk 1 = verbatim with bad CRC, chunk 2 = compressed chunk that
+        scans fine but fails to DECODE: the EARLIEST chunk's error ("crc")
+        must win (snappy.nim:199-265 processes strictly in order)."""
+        p1 = b"first chunk payload"
+        c1 = (crc32c_native.masked_crc32c(p1) ^ 1).to_bytes(4, "little")
+        import snappy_tpu.formats.varint as v
+
+        # declared 100 bytes but the tag stream is a truncated tagCopy4
+        body = v.encode_uint32(100) + b"\xff"
+        data = (
+            C.FRAMING_HEADER
+            + hdr(C.CHUNK_UNCOMPRESSED, 4 + len(p1))
+            + c1
+            + p1
+            + hdr(C.CHUNK_COMPRESSED, 4 + len(body))
+            + b"\x00" * 4
+            + body
+        )
+        out, reason = device_decode(data)
+        assert out is None and reason == "crc"
+        # and with the CRC healthy, the later decode error surfaces
+        good = crc32c_native.masked_crc32c(p1).to_bytes(4, "little")
+        data2 = data.replace(c1, good, 1)
+        out, reason = device_decode(data2)
+        assert out is None and reason == "invalid"
+
     def test_truncated_inner_varint(self):
         # compressed chunk whose payload is CRC + truncated varint
         data = C.FRAMING_HEADER + hdr(C.CHUNK_COMPRESSED, 5) + b"\x00" * 4 + b"\x80"
