@@ -444,3 +444,165 @@ class TestErrorOrderParity:
         for budget in (16, 1 << 16):
             res = s.uncompress_framed_into(stream, bytearray(budget))
             assert res.is_err() and res.error == s.FrameError.invalid_input
+
+
+class TestErrorOrderFuzz:
+    """Randomized multi-chunk framed streams with a fault injected at a
+    random chunk: the resumable walk's outcome — Ok((read, written)) plus
+    the written bytes, or the typed error — must be IDENTICAL across the
+    native host walk, the device scalar path, and the device XLA path
+    (round-5 VERDICT item 9; reference: test_framed.nim:83-219).  The
+    deferred ``walk_err`` machinery (api.py) and the index-ordered batched
+    device errors (engine._framed_uncompress_device) are the subjects."""
+
+    FAULTS = (
+        "none", "crc", "varint_oversize", "varint_overlong", "tags",
+        "unknown", "truncate", "short_data",
+    )
+
+    @staticmethod
+    def _legs():
+        import os
+
+        from snappy_tpu.ops import host_codec
+
+        legs = []
+        if host_codec.available():
+            legs.append(("host", None))
+        if not os.environ.get("SNAPPY_TPU_SANITIZE"):
+            legs.append(("device", "scalar"))
+            legs.append(("device", "xla"))
+        return legs
+
+    def _build(self, specs, fault, k, seed):
+        from snappy_tpu.formats import varint
+
+        rng = random.Random(seed)
+        parts = []
+        total_unc = 0
+        for i, (kind, size) in enumerate(specs):
+            faulted = i == k
+            if kind == "pad":
+                parts.append(frame_header(C.CHUNK_PADDING, size) + b"\x00" * size)
+                continue
+            if kind == "skip":
+                cid = rng.randrange(C.CHUNK_RESERVED_SKIPPABLE_LO, 0xFE)
+                if faulted and fault == "unknown":
+                    cid = rng.randrange(0x03, C.CHUNK_RESERVED_SKIPPABLE_LO)
+                parts.append(frame_header(cid, size) + bytes(size))
+                continue
+            if kind == "comp":
+                payload = ((bytes([rng.randrange(33, 80)]) * 7 + b"ab")
+                           * (size // 9 + 3))[: size + 17]
+                body = s.encode(payload)
+            else:
+                payload = bytes(rng.randrange(256) for _ in range(size))
+                body = payload
+            crc = crc32c_native.masked_crc32c(payload)
+            cid = C.CHUNK_COMPRESSED if kind == "comp" else C.CHUNK_UNCOMPRESSED
+            if faulted:
+                if fault == "crc":
+                    crc ^= 0x5A
+                elif fault == "unknown":
+                    cid = rng.randrange(0x03, C.CHUNK_RESERVED_SKIPPABLE_LO)
+                elif fault == "short_data":
+                    dl = rng.randrange(0, 4)
+                    parts.append(frame_header(cid, dl) + bytes(dl))
+                    continue
+                elif kind == "comp" and fault == "varint_oversize":
+                    body = varint.encode_uint32(70000) + body[3:]
+                elif kind == "comp" and fault == "varint_overlong":
+                    body = b"\xe4\x80\x80\x80\x80\x00" + body[1:]
+                elif kind == "comp" and fault == "tags" and len(body) > 2:
+                    j = rng.randrange(1, len(body))
+                    body = body[:j] + bytes([body[j] ^ 0xFF]) + body[j + 1:]
+            total_unc += len(payload)
+            parts.append(
+                frame_header(cid, 4 + len(body))
+                + crc.to_bytes(4, "little")
+                + body
+            )
+        stream = bytes(C.FRAMING_HEADER) + b"".join(parts)
+        if fault == "truncate" and len(stream) > len(C.FRAMING_HEADER) + 1:
+            cut = rng.randrange(1, min(10, len(stream) - len(C.FRAMING_HEADER)))
+            stream = stream[:-cut]
+        return stream, total_unc
+
+    def _run_leg(self, backend, kernel, stream, budget):
+        import os
+
+        from snappy_tpu import config
+
+        prev_b = config.get_backend()
+        prev_k = os.environ.get("SNAPPY_TPU_DEVICE_KERNEL")
+        config.set_backend(backend)
+        if kernel is not None:
+            os.environ["SNAPPY_TPU_DEVICE_KERNEL"] = kernel
+        try:
+            buf = bytearray(budget)
+            res = s.uncompress_framed_into(stream, buf)
+            if res.is_ok():
+                read, written = res.value
+                return ("ok", read, written, bytes(buf[:written]))
+            return ("err", res.error)
+        finally:
+            config.set_backend(prev_b)
+            if prev_k is None:
+                os.environ.pop("SNAPPY_TPU_DEVICE_KERNEL", None)
+            else:
+                os.environ["SNAPPY_TPU_DEVICE_KERNEL"] = prev_k
+
+    def test_fault_injection_parity(self):
+        hypothesis = pytest.importorskip("hypothesis")
+        import os
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        legs = self._legs()
+        if len(legs) < 2:
+            pytest.skip("need at least two backend legs")
+
+        @st.composite
+        def cases(draw):
+            nch = draw(st.integers(1, 5))
+            specs = [
+                (
+                    draw(st.sampled_from(["comp", "uncomp", "skip", "pad"])),
+                    draw(st.integers(1, 800)),
+                )
+                for _ in range(nch)
+            ]
+            fault = draw(st.sampled_from(self.FAULTS))
+            k = draw(st.integers(0, nch - 1))
+            budget = draw(st.sampled_from([7, 300, 4096, 1 << 17, -1]))
+            seed = draw(st.integers(0, 2**31 - 1))
+            return specs, fault, k, budget, seed
+
+        @given(cases())
+        @settings(
+            max_examples=int(os.environ.get("SNAPPY_TPU_FUZZ_EXAMPLES", "30")),
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.too_slow,
+                HealthCheck.data_too_large,
+            ],
+        )
+        def run(case):
+            specs, fault, k, budget, seed = case
+            stream, total_unc = self._build(specs, fault, k, seed)
+            if budget == -1:
+                budget = max(total_unc, 1)
+            sigs = [
+                (leg, self._run_leg(leg[0], leg[1], stream, budget))
+                for leg in legs
+            ]
+            first = sigs[0][1]
+            for leg, sig in sigs[1:]:
+                assert sig == first, (
+                    f"divergence {sigs[0][0]} vs {leg}: {first!r} != {sig!r} "
+                    f"(fault={fault}@{k}, specs={specs}, seed={seed}, "
+                    f"budget={budget})"
+                )
+
+        run()
