@@ -101,6 +101,20 @@ def decode(data: bytes, max_size: int = C.MAX_UNCOMPRESSED_LEN) -> bytes:
     return out if out is not None else b""
 
 
+def decode_batch(
+    datas, max_size: int = C.MAX_UNCOMPRESSED_LEN
+) -> "list[bytes]":
+    """Decompress many independent raw snappy streams at once; one
+    ``b""`` per failed stream (the :func:`decode` contract element-wise).
+
+    A framework addition with no reference analog: on the device backend,
+    streams up to 128 KiB output decode in ONE batched kernel dispatch
+    (128-stream slabs) instead of paying the per-call dispatch tax each —
+    the serving-shaped entry point for many small payloads."""
+    res = engine.raw_uncompress_batch([bytes(d) for d in datas], max_size)
+    return [out if out is not None else b"" for out, _ in res]
+
+
 def uncompress_into(data: bytes, out: Union[bytearray, memoryview]) -> Result[int]:
     """Decompress into a caller buffer; written length or typed error
     (snappy.nim:84-110).  The declared length must fit ``out`` exactly like

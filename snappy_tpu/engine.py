@@ -307,6 +307,90 @@ def raw_uncompress(
     return np.asarray(out)[: int(declared)].tobytes(), "ok"
 
 
+def _nb_slab_raw(n: int) -> int:
+    """Grid-size bucket for the big-window raw batch kernel.  Finer
+    buckets than the chunk path: idle pad steps are 128 KiB-window sized
+    here, so a 10-stream batch in a 32-slab measured ~40% idle-step
+    overhead (round 5)."""
+    for b in (8, 16, 32, 64, 128):
+        if n <= b:
+            return b
+    return 128
+
+
+def raw_uncompress_batch(
+    datas: List[bytes],
+    max_size: int = C.MAX_UNCOMPRESSED_LEN,
+    backend: Optional[str] = None,
+) -> List[Tuple[Optional[bytes], str]]:
+    """Decode many independent raw streams with ONE device dispatch per
+    slab of small streams (round-5 VERDICT item 5: back-to-back small
+    decodes previously paid the full per-call dispatch tax each).
+
+    Streams that do not fit the big-window kernel (output > 128 KiB or
+    pathological expansion) fall back to :func:`raw_uncompress` each.
+    Returns one (payload|None, reason) pair per input, same contracts as
+    :func:`raw_uncompress`."""
+    from . import config
+    from .ops import host_codec
+
+    bk = backend or config.resolve_backend()
+    if bk == "host" and host_codec.available():
+        return [host_codec.raw_uncompress(d, max_size) for d in datas]
+
+    from .ops import decode_scalar
+
+    results: List[Optional[Tuple[Optional[bytes], str]]] = [None] * len(datas)
+    batch = []  # (result_index, body_bytes, declared)
+    for i, data in enumerate(datas):
+        data = bytes(data)
+        declared64, _ = varint.decode_uint64(data)
+        if declared64 is None or declared64 > C.MAX_UNCOMPRESSED_LEN:
+            results[i] = (None, "invalid")
+            continue
+        if declared64 > max_size:
+            results[i] = (None, "too_large")
+            continue
+        declared, read = varint.decode_uint32(data)
+        if declared is None:
+            results[i] = (None, "invalid")
+            continue
+        body = data[read:]
+        if declared == 0:
+            results[i] = (b"", "ok") if len(body) == 0 else (None, "invalid")
+            continue
+        if (
+            _use_scalar_kernels()
+            and len(body) > 0
+            and declared <= 4 * decode_scalar.RAW_OUT_WORDS
+            and len(body) <= 4 * decode_scalar.RAW_C_WORDS
+        ):
+            batch.append((i, body, int(declared)))
+        else:
+            results[i] = raw_uncompress(data, max_size, backend=bk)
+
+    for lo in range(0, len(batch), 128):
+        sub = batch[lo : lo + 128]
+        slab = _nb_slab_raw(len(sub))
+        bodies = [b for _, b, _ in sub]
+        decls = [d for _, _, d in sub]
+        while len(bodies) < slab:
+            bodies.append(b"")
+            decls.append(0)
+        meta, comp = decode_scalar.pack_raw_batch(bodies, decls)
+        out_words, status = decode_scalar.decode_raw_batch_words(
+            jnp.asarray(meta), jnp.asarray(comp), slab
+        )
+        status = np.asarray(status)
+        out_b = np.ascontiguousarray(np.asarray(out_words)).view(np.uint8)
+        for k, (i, _, declared) in enumerate(sub):
+            if status[k, 0, 0] and status[k, 0, 1] == declared:
+                results[i] = (out_b[k, 0, :declared].tobytes(), "ok")
+            else:
+                results[i] = (None, "invalid")
+    return results  # type: ignore[return-value]
+
+
 # ---------------------------------------------------------------------------
 # Framed format
 # ---------------------------------------------------------------------------

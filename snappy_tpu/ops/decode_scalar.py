@@ -455,3 +455,33 @@ def decode_raw_words(meta, comp_words, interpret=None):
         _host_lut(), meta, comp_words, 1, RAW_CW_PAD, RAW_OUT_WORDS,
         bool(interpret)
     )
+
+
+def pack_raw_batch(bodies, declareds):
+    """Pack independent raw tag streams into the big-window layout.
+
+    bodies: list of bytes (each <= 4*RAW_C_WORDS), declareds: list of
+    declared output lengths (each <= 4*RAW_OUT_WORDS).  Returns
+    (meta [nb,1,2] int32, comp_words [nb*RAW_CW_PAD] int32)."""
+    nb = len(bodies)
+    comp = np.zeros((nb, 4 * RAW_CW_PAD), dtype=np.uint8)
+    meta = np.zeros((nb, 1, 2), dtype=np.int32)
+    for k, body in enumerate(bodies):
+        arr = np.frombuffer(body, dtype=np.uint8)
+        comp[k, : len(arr)] = arr
+        meta[k, 0, 0] = len(arr)
+        meta[k, 0, 1] = declareds[k]
+    return meta, comp.reshape(-1).view(np.int32)
+
+
+def decode_raw_batch_words(meta, comp_words, nb: int, interpret=None):
+    """Decode ``nb`` independent raw streams (each <= 128 KiB output) in
+    ONE pallas call — the multi-stream entry that amortizes the per-call
+    dispatch tax over back-to-back small decodes (round-5 VERDICT item 5).
+    Same kernel as decode_chunks_words, big-window shapes."""
+    if interpret is None:
+        interpret = _forced_interpret()
+    return _decode_chunks_words_jit(
+        _host_lut(), meta, comp_words, nb, RAW_CW_PAD, RAW_OUT_WORDS,
+        bool(interpret)
+    )

@@ -128,3 +128,36 @@ class TestRawGoldenCorpus:
         gold = corpus.read_data(corpus.GOLDEN_RAWSNAPPY)
         declared = s.uncompressed_len(gold)
         assert declared == len(s.decode(gold))
+
+
+class TestDecodeBatch:
+    """decode_batch: element-wise parity with decode() across sizes,
+    failure modes, and the >128 KiB grid fallback (round-5 addition)."""
+
+    def test_parity_with_decode(self):
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        payloads = [
+            b"",
+            b"a",
+            b"batch " * 500,                      # small text
+            bytes(rng.integers(0, 256, 5000, np.uint8)),   # incompressible
+            b"r" * 100_000,                        # RLE, ~100 KiB (batched)
+            (b"mixed content " * 12000)[:150_000],  # > 128 KiB (fallback)
+        ]
+        encs = [s.encode(p) for p in payloads]
+        bad = b"\x05\xff\xff"                      # truncated literal
+        encs.insert(2, bad)
+        singles = [s.decode(e) for e in encs]
+        batch = s.decode_batch(encs)
+        assert batch == singles
+        assert batch[2] == b""                     # the malformed one
+
+    def test_max_size_guard(self):
+        enc = s.encode(b"x" * 10_000)
+        assert s.decode_batch([enc], max_size=9_999) == [b""]
+        assert s.decode_batch([enc], max_size=10_000) == [s.decode(enc)]
+
+    def test_empty_batch(self):
+        assert s.decode_batch([]) == []

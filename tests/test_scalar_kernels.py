@@ -874,3 +874,47 @@ class TestFarRunDMASelfCopy:
         want, err = oracle.decode_all_tags(body, 1 << 22)
         assert err is None and bytes(want) == payload
         self._check_grid(payload)
+
+
+class TestRawBatchKernel:
+    """Batched big-window raw decode (decode_raw_batch_words): the
+    multi-stream entry behind api.decode_batch (round-5 VERDICT item 5)."""
+
+    def test_batch_matches_oracle(self):
+        payloads = [
+            b"batch stream " * 40,
+            b"q" * 3000,                      # RLE
+            bytes(random.Random(3).randbytes(1200)),  # incompressible
+            b"",                              # declared 0 slot (padding)
+            (b"ab" * 900),
+        ]
+        bodies, decls = [], []
+        for p in payloads:
+            bodies.append(_tag_stream(p) if p else b"")
+            decls.append(len(p))
+        meta, comp = decode_scalar.pack_raw_batch(bodies, decls)
+        out_w, status = decode_scalar.decode_raw_batch_words(
+            meta, comp, len(bodies), interpret=True
+        )
+        status = np.asarray(status)
+        out_b = np.ascontiguousarray(np.asarray(out_w)).view(np.uint8)
+        for k, p in enumerate(payloads):
+            if p:
+                assert status[k, 0, 0] == 1 and status[k, 0, 1] == len(p)
+                assert out_b[k, 0, : len(p)].tobytes() == p
+
+    def test_batch_isolates_malformed_stream(self):
+        good = b"isolated good stream " * 30
+        bad_body = b"\xff"  # truncated tagCopy4
+        bodies = [_tag_stream(good), bad_body, _tag_stream(good)]
+        decls = [len(good), 100, len(good)]
+        meta, comp = decode_scalar.pack_raw_batch(bodies, decls)
+        out_w, status = decode_scalar.decode_raw_batch_words(
+            meta, comp, 3, interpret=True
+        )
+        status = np.asarray(status)
+        out_b = np.ascontiguousarray(np.asarray(out_w)).view(np.uint8)
+        assert status[0, 0, 0] == 1 and status[2, 0, 0] == 1
+        assert status[1, 0, 0] == 0
+        assert out_b[0, 0, : len(good)].tobytes() == good
+        assert out_b[2, 0, : len(good)].tobytes() == good
