@@ -226,6 +226,14 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_size_t,
         ]
+        lib.stpu_scan_frames.restype = ctypes.c_long
+        lib.stpu_scan_frames.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_void_p,  # records i64 [cap, 4]
+            ctypes.c_size_t,
+        ]
         return lib
     except Exception:
         _build_failed = True
@@ -782,3 +790,30 @@ def framed_resume_decode(
     if walk_reason != "ok":
         return None, 0, walk_reason
     return int(read_end.value), int(total.value), "ok"
+
+
+def scan_frames_records(data, start: int = 0) -> Optional[np.ndarray]:
+    """Native framed-header scan (stpu_scan_frames): one C pass instead of
+    a per-chunk Python walk.  Returns int64 [n, 4] records
+    (id, header_pos, data_len, uncompressed_len), or None when the stream
+    is malformed.  Raises RuntimeError when the native library is
+    unavailable — callers gate on :func:`available`."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native codec library unavailable")
+    buf = data if isinstance(data, np.ndarray) else np.frombuffer(
+        data, dtype=np.uint8
+    )
+    n = len(buf)
+    cap = max(64, (n - start) // 65540 * 2 + 64)
+    while True:
+        rec = np.empty((cap, 4), dtype=np.int64)
+        r = lib.stpu_scan_frames(
+            buf.ctypes.data, n, start, rec.ctypes.data, cap
+        )
+        if r == -2:
+            cap = (n - start) // 4 + 2  # hard bound: every chunk takes >= 4 B
+            continue
+        if r < 0:
+            return None
+        return rec[:r]

@@ -1039,4 +1039,64 @@ int stpu_decode_raw_segments(const uint8_t* in, const int64_t* in_offs,
   return 0;
 }
 
+/* ---- framed-stream header scan (codec.nim:178-214 semantics) -----------
+ * Walks chunk headers from `start`, validating structure exactly like
+ * formats/framing.scan_frames: truncated header/payload, data chunk with
+ * data_len < 4, compressed chunk whose inner LEB128 uint64 is truncated /
+ * longer than 10 bytes / overflowing, reserved unskippable ids
+ * (0x02..0x7f), any known chunk with uncompressed payload > 65536.
+ * Writes one record of 4 x int64 per chunk:
+ *   (id, header_pos, data_len, uncompressed_len)   [data_pos = hdr + 4]
+ * Returns the chunk count, -1 when malformed, -2 when more than `cap`
+ * chunks exist (caller retries with a bigger table).  This is the
+ * O(n_chunks) pass that would otherwise walk Python bytes per chunk on
+ * multi-MB streams (round-5 VERDICT item 4). */
+long stpu_scan_frames(const uint8_t* in, size_t n, size_t start,
+                      int64_t* rec, size_t cap) {
+  size_t read = start;
+  long cnt = 0;
+  while (read < n) {
+    if (n - read < 4) return -1;
+    uint32_t w = (uint32_t)in[read] | ((uint32_t)in[read + 1] << 8) |
+                 ((uint32_t)in[read + 2] << 16) |
+                 ((uint32_t)in[read + 3] << 24);
+    uint32_t cid = w & 0xff;
+    size_t dlen = (size_t)(w >> 8);
+    if (n - read - 4 < dlen) return -1;
+    size_t dpos = read + 4;
+    uint64_t unc = 0;
+    if (cid == 0x00) { /* compressed: inner LEB128 uint64 after the CRC */
+      if (dlen < 4) return -1;
+      const uint8_t* p = in + dpos + 4;
+      size_t avail = dlen - 4;
+      size_t lim = avail < 10 ? avail : 10;
+      uint64_t v = 0;
+      int shift = 0, ok = 0;
+      for (size_t i = 0; i < lim; i++) {
+        uint8_t b = p[i];
+        if (shift >= 64 || (shift == 63 && (b & 0x7f) > 1)) break;
+        v |= (uint64_t)(b & 0x7f) << shift;
+        if (!(b & 0x80)) { ok = 1; break; }
+        shift += 7;
+      }
+      if (!ok) return -1;
+      unc = v;
+    } else if (cid == 0x01) { /* uncompressed: payload after the CRC */
+      if (dlen < 4) return -1;
+      unc = dlen - 4;
+    } else if (cid < 0x80) { /* reserved unskippable: cannot size */
+      return -1;
+    } /* skippable 0x80..0xfe and the 0xff stream header: unc = 0 */
+    if (unc > 65536) return -1;
+    if ((size_t)cnt >= cap) return -2;
+    rec[4 * cnt + 0] = (int64_t)cid;
+    rec[4 * cnt + 1] = (int64_t)read;
+    rec[4 * cnt + 2] = (int64_t)dlen;
+    rec[4 * cnt + 3] = (int64_t)unc;
+    cnt++;
+    read += 4 + dlen;
+  }
+  return cnt;
+}
+
 int stpu_using_native(void) { return 1; }

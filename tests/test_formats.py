@@ -147,3 +147,89 @@ class TestFramedScan:
             C.CHUNK_COMPRESSED, 3
         ) + b"\x00\x00\x00"
         assert framing.uncompressed_len_framed(stream) is None
+
+
+class TestNativeScanParity:
+    """framing.scan_frames routes >= 1 MiB streams through the native C
+    header pass (round-5 VERDICT item 4); it must agree with the Python
+    walk exactly — valid streams, malformed streams, and edge chunks."""
+
+    def _big_stream(self):
+        import snappy_tpu as s
+
+        payload = (b"scan parity " * 9000 + bytes(range(256)) * 40) * 14
+        assert len(payload) > (1 << 20)
+        return s.encode_framed(payload)
+
+    def _python_scan(self, data, start):
+        import snappy_tpu.formats.framing as fr
+
+        old = fr._NATIVE_SCAN_MIN
+        fr._NATIVE_SCAN_MIN = 1 << 62
+        try:
+            return fr.scan_frames(data, start)
+        finally:
+            fr._NATIVE_SCAN_MIN = old
+
+    def test_valid_stream_parity(self):
+        from snappy_tpu.ops import host_codec
+
+        if not host_codec.available():
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        enc = self._big_stream()
+        nat = framing.scan_frames(enc, len(C.FRAMING_HEADER))
+        py = self._python_scan(enc, len(C.FRAMING_HEADER))
+        assert nat == py and len(nat) > 10
+
+    def test_malformed_parity(self):
+        from snappy_tpu.ops import host_codec
+
+        if not host_codec.available():
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        enc = self._big_stream()
+        start = len(C.FRAMING_HEADER)
+        cases = []
+        cases.append(enc[:-3])                       # torn final chunk
+        bad = bytearray(enc)
+        bad[start] = 0x40                            # unskippable id
+        cases.append(bytes(bad))
+        # compressed chunk whose inner varint is all-continuation bytes
+        body = b"\xff" * 10
+        cases.append(
+            enc
+            + framing.encode_frame_header(C.CHUNK_COMPRESSED, 4 + len(body))
+            + b"\x00" * 4
+            + body
+        )
+        # oversized declared inner length (> 64 KiB)
+        import snappy_tpu.formats.varint as v
+
+        body2 = v.encode_uint32(65537)
+        cases.append(
+            enc
+            + framing.encode_frame_header(C.CHUNK_COMPRESSED, 4 + len(body2))
+            + b"\x00" * 4
+            + body2
+        )
+        # data chunk with data_len < 4
+        cases.append(
+            enc + framing.encode_frame_header(C.CHUNK_UNCOMPRESSED, 2) + b"\x00\x00"
+        )
+        # skippable + padding chunks appended stay valid
+        ok_tail = (
+            enc
+            + framing.encode_frame_header(0x9A, 3)
+            + b"abc"
+            + framing.encode_frame_header(C.CHUNK_PADDING, 1)
+            + b"\x00"
+        )
+        for case in cases:
+            assert framing.scan_frames(case, start) is None
+            assert self._python_scan(case, start) is None
+        nat = framing.scan_frames(ok_tail, start)
+        py = self._python_scan(ok_tail, start)
+        assert nat == py and nat is not None
