@@ -101,6 +101,32 @@ async def uncompress_framed(
         if pos:
             blob = bytes(pending[:pos])
             del pending[:pos]
+            # all-native window decode on the host backend (the same fast
+            # path as streams/sync.py — the C resumable walk validates,
+            # decodes on all cores, and hands back a resume offset)
+            from .. import config as _config
+            from ..ops import host_codec as _hc
+
+            if _config.resolve_backend() == "host" and _hc.available():
+                import numpy as np
+
+                out_buf = np.empty((8 << 20,), dtype=np.uint8)
+                roff = 0
+                while roff < pos:
+                    r, w, reason = _hc.framed_resume_decode(
+                        blob, roff, out_buf, out_buf.size, check_integrity
+                    )
+                    if r is None or (r == roff and w == 0):
+                        raise MalformedSnappyData(
+                            f"framed decode failed ({reason})"
+                        )
+                    writer.write(bytes(memoryview(out_buf.data)[:w]))
+                    await writer.drain()
+                    written += w
+                    roff = r
+                if at_eof and not pending:
+                    return written
+                continue
             chunks = framing.scan_frames(blob)
             if chunks is None:
                 reason = engine._scan_failure_reason(blob, 0)

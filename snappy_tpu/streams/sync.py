@@ -20,6 +20,7 @@ utilized (`batch_frames` controls memory vs. throughput).
 from __future__ import annotations
 
 import io
+import threading
 from typing import BinaryIO
 
 from .. import engine
@@ -32,6 +33,7 @@ from ..formats.errors import (
 )
 
 _DEFAULT_BATCH = 64  # frames per device round-trip (4 MiB of payload)
+_tls = threading.local()  # grow-only decode window buffers
 
 
 def compress(
@@ -103,38 +105,107 @@ def uncompress_framed(
     if not framing.is_snappy_framed_stream(magic):
         raise MalformedSnappyData("missing snappy framing header")
 
+    # Bounded-memory batch loop with a persistent read buffer: the tail
+    # (an incomplete trailing chunk, < 64 KiB + margin) moves to the buffer
+    # head and the next read lands after it — the only per-byte costs over
+    # the in-memory path are the src read itself and the dst write (no
+    # pending-bytearray reshuffling; round 5 — the old design measured 4x
+    # slower than the in-memory decode from exactly those copies).  The
+    # window buffers are thread-local and grow-only: back-to-back calls
+    # (the serving shape) reuse warm pages instead of page-faulting
+    # ~25 MB per call.
+    import numpy as np
+
+    CH = 8 << 20
+    scratch = getattr(_tls, "dec", None)
+    if scratch is None:
+        scratch = _tls.dec = {
+            "rbuf": bytearray(CH + (1 << 17)),
+            "out": np.empty((2 * CH,), dtype=np.uint8),
+        }
+    rbuf = scratch["rbuf"]
+    rmv = memoryview(rbuf)
+    out_buf = scratch["out"]
     written = 0
-    pending = bytearray()
+    tail_len = 0
+    use_readinto = hasattr(src, "readinto")
+    from .. import config as _config
+    from ..ops import host_codec as _hc
+
+    host_fast = _config.resolve_backend() == "host" and _hc.available()
     while True:
-        data = src.read(1 << 22)
-        at_eof = not data
-        pending.extend(data)
-        # Find the longest prefix of whole chunks in `pending`.
+        n_read = -1
+        if use_readinto:
+            try:
+                n_read = src.readinto(rmv[tail_len : tail_len + CH]) or 0
+            except (NotImplementedError, OSError):
+                use_readinto = False  # file-likes that only implement read
+        if n_read < 0:
+            data = src.read(CH)
+            n_read = len(data)
+            rmv[tail_len : tail_len + n_read] = data
+        avail = tail_len + n_read
+        at_eof = n_read == 0
+        # longest whole-chunk prefix of rbuf[:avail]
         pos = 0
-        while len(pending) - pos >= 4:
-            _, data_len = framing.decode_frame_header(pending[pos : pos + 4])
-            if len(pending) - pos < 4 + data_len:
+        while avail - pos >= 4:
+            _, data_len = framing.decode_frame_header(rmv[pos : pos + 4])
+            if avail - pos < 4 + data_len:
                 break
             pos += 4 + data_len
         if pos:
-            chunk_blob = bytes(pending[:pos])
-            del pending[:pos]
-            chunks = framing.scan_frames(chunk_blob)
-            if chunks is None:
-                reason = engine._scan_failure_reason(chunk_blob, 0)
-                raise MalformedSnappyData(f"invalid framed chunk ({reason})")
-            outs, reason = engine.framed_uncompress_chunks(
-                chunk_blob, chunks, check_integrity
-            )
-            if outs is None:
-                raise MalformedSnappyData(f"framed decode failed ({reason})")
-            for o in outs:
-                dst.write(o)
-                written += len(o)
+            blob = rmv[:pos]
+            if host_fast:
+                # all-native window decode: the C resumable walk validates
+                # headers, decodes the fitting prefix on all cores, and
+                # hands back a resume offset — re-entered here until the
+                # window drains (out_buf bounds memory, never grows)
+                from ..ops import host_codec
+
+                roff = 0
+                while roff < pos:
+                    r, w, reason = host_codec.framed_resume_decode(
+                        blob, roff, out_buf, out_buf.size, check_integrity
+                    )
+                    if r is None or (r == roff and w == 0):
+                        raise MalformedSnappyData(
+                            f"framed decode failed ({reason})"
+                        )
+                    dst.write(memoryview(out_buf.data)[:w])
+                    written += w
+                    roff = r
+            else:
+                chunks = framing.scan_frames(blob)
+                if chunks is None:
+                    reason = engine._scan_failure_reason(bytes(blob), 0)
+                    raise MalformedSnappyData(
+                        f"invalid framed chunk ({reason})"
+                    )
+                total = sum(c.uncompressed_len for c in chunks)
+                if out_buf.size < total:
+                    out_buf = scratch["out"] = np.empty(
+                        (max(total, 2 * CH),), dtype=np.uint8
+                    )
+                w, reason = engine.framed_uncompress_chunks_into(
+                    blob, chunks, out_buf, check_integrity
+                )
+                if w is None:
+                    raise MalformedSnappyData(
+                        f"framed decode failed ({reason})"
+                    )
+                dst.write(memoryview(out_buf.data)[:w])
+                written += w
+        tail_len = avail - pos
+        if pos and tail_len:
+            # bytes() detour: the regions may overlap when the decoded
+            # prefix is shorter than the tail (memoryview slice assignment
+            # is memcpy-based, undefined on overlap); the tail is < 128 KiB
+            # in every non-adversarial stream so the copy is negligible
+            rmv[:tail_len] = bytes(rmv[pos:avail])
         if at_eof:
-            if pending:
+            if tail_len:
                 raise UnexpectedEofError(
-                    f"{len(pending)} trailing bytes are not a whole chunk"
+                    f"{tail_len} trailing bytes are not a whole chunk"
                 )
             return written
 
