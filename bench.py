@@ -11,13 +11,15 @@ execution paths of the framework:
   data; timed as jitted pipeline steps on pre-staged buffers.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+   "device": {per-class device GB/s}, "host": {host-runtime GB/s},
+   "scaling": {batch-scaling curve, virtual-mesh overhead, projection}}
 
-Headline: framed-format decompress throughput on a large payload (the
-steady-state, chunk-parallel workload this framework targets).
-``vs_baseline`` divides by the reference's framed decompress on its largest
-input: 38,942,424 B / 25.389 ms = 1.534 GB/s (README.md:124, BASELINE.md).
-Per-file raw-format tables and device-step numbers go to stderr.
+Headline: the DEVICE framed decode step (chunk decode + on-chip CRC) on the
+mixed corpus batch — the TPU-first number.  ``vs_baseline`` divides by the
+reference's framed decompress on its largest input: 38,942,424 B /
+25.389 ms = 1.534 GB/s (README.md:124, BASELINE.md; one x86 core vs one
+chip).  Per-file tables and per-step lines go to stderr.
 """
 
 import json
@@ -225,7 +227,90 @@ def bench_host(datasets):
             f"{len(big)/td_cpp/1e9:.3f} GB/s (ours {len(big)/td/1e9:.3f}, "
             f"{td_cpp/td:.2f}x of C++)"
         )
-    return framed_enc_gbps, framed_dec_gbps
+
+    # Stream adapters at the default 64-frame batch (the reference benches
+    # its fastStreams/nimStreams columns too, tests/benchmark.nim): same
+    # 47 MB payload through streams/sync.py and streams/aio.py.
+    import asyncio
+    import io
+
+    from snappy_tpu.streams import aio as saio
+    from snappy_tpu.streams import sync as ssync
+
+    class _BufWriter:
+        """Reused output buffer with a file-like write (allocation-free)."""
+
+        def __init__(self, size):
+            self.buf = bytearray(size)
+            self.pos = 0
+
+        def write(self, b):
+            n = len(b)
+            self.buf[self.pos : self.pos + n] = b
+            self.pos += n
+            return n
+
+        def reset(self):
+            self.pos = 0
+
+    enc_sink = _BufWriter(Cc.max_compressed_len_framed(len(big)))
+
+    def stream_enc():
+        enc_sink.reset()
+        ssync.compress_framed(io.BytesIO(big), enc_sink)
+
+    tse = mean_time(stream_enc, samples=8)
+    dec_sink = _BufWriter(len(big))
+
+    def stream_dec():
+        dec_sink.reset()
+        ssync.uncompress_framed(io.BytesIO(fenc), dec_sink)
+
+    stream_dec()
+    assert bytes(dec_sink.buf[: dec_sink.pos]) == big
+    tsd = mean_time(stream_dec, samples=8)
+    log(
+        f"stream adapters (sync, 47MB framed): encode "
+        f"{len(big)/tse/1e9:.3f} GB/s, decode {len(big)/tsd/1e9:.3f} GB/s "
+        f"({100*framed_enc_gbps*tse*1e9/len(big):.0f}% / "
+        f"{100*framed_dec_gbps*tsd*1e9/len(big):.0f}% of in-memory time)"
+    )
+
+    async def aio_dec():
+        reader = asyncio.StreamReader()
+        reader.feed_data(fenc)
+        reader.feed_eof()
+        dec_sink.reset()
+
+        class _W:  # minimal StreamWriter stand-in over the reused buffer
+            def write(self, b):
+                dec_sink.write(b)
+
+            async def drain(self):
+                pass
+
+        await saio.uncompress_framed(reader, _W())
+
+    def aio_dec_once():
+        asyncio.run(aio_dec())
+
+    aio_dec_once()
+    assert bytes(dec_sink.buf[: dec_sink.pos]) == big
+    tad = mean_time(aio_dec_once, samples=6)
+    log(
+        f"stream adapters (asyncio, 47MB framed): decode "
+        f"{len(big)/tad/1e9:.3f} GB/s"
+    )
+
+    return {
+        "framed_encode_gbps": round(framed_enc_gbps, 4),
+        "framed_decode_gbps": round(framed_dec_gbps, 4),
+        "stream_sync_encode_gbps": round(len(big) / tse / 1e9, 4),
+        "stream_sync_decode_gbps": round(len(big) / tsd / 1e9, 4),
+        "stream_aio_decode_gbps": round(len(big) / tad / 1e9, 4),
+        "corpus_decode_gbps": round(total_b / total_dec / 1e9, 4),
+        "corpus_encode_gbps": round(total_b / total_enc / 1e9, 4),
+    }
 
 
 def bench_big(datasets):
@@ -278,6 +363,7 @@ def bench_device(datasets):
     from snappy_tpu.formats import varint
 
     log(f"== device kernels ({jax.devices()[0]}) ==")
+    dev = {}
     name = "html"
     data = datasets.get(name) or next(iter(datasets.values()))
 
@@ -323,7 +409,38 @@ def bench_device(datasets):
             f"device chunk decode (scalar core, {NB}x64KiB = {total/1e6:.1f} MB): "
             f"{1e3*dec_t:.1f} ms ({total/dec_t/1e6:.1f} MB/s)"
         )
-        dev_framed_dec_mbps = total / dec_t / 1e6
+        dev["chunk_decode_mixed_gbps"] = round(total / dec_t / 1e9, 4)
+
+        # Full framed device step (decode + on-chip CRC32C of the outputs):
+        # the production _framed_uncompress_device pipeline stage, and the
+        # headline device metric (round-5 VERDICT item 2).
+        fr_t = pipelined_time(
+            lambda: engine._decode_chunks_scalar(dmeta, dcomp, NB),
+            samples=4,
+        )
+        log(
+            f"device framed decode step (decode + on-chip CRC, {NB}x64KiB):"
+            f" {1e3*fr_t:.1f} ms ({total/fr_t/1e6:.1f} MB/s)"
+        )
+        dev["framed_decode_step_gbps"] = round(total / fr_t / 1e9, 4)
+
+        # On-chip batch-size scaling (BASELINE configs 4-5 analog, the form
+        # one chip allows): chunk-count sweep at the engine's slab shapes.
+        scaling_pts = {}
+        for nb_eff, slab in ((1, 8), (8, 8), (32, 32), (128, 128)):
+            bb = (bodies * ((nb_eff // len(bodies)) + 1))[:nb_eff]
+            dd = (decls * ((nb_eff // len(decls)) + 1))[:nb_eff]
+            bb = bb + [b""] * (slab - nb_eff)
+            dd = dd + [0] * (slab - nb_eff)
+            m_s, c_s = decode_scalar.pack_chunks(bb, dd)
+            dm_s, dc_s = jax.device_put(m_s), jax.device_put(c_s)
+            t_s = pipelined_time(
+                lambda: decode_scalar.decode_chunks_words(dm_s, dc_s, slab),
+                samples=6,
+            )
+            scaling_pts[str(nb_eff)] = round(sum(dd) / t_s / 1e6, 1)
+        log(f"device chunk-batch scaling (MB/s by chunk count): {scaling_pts}")
+        dev["chunk_batch_scaling_mbps"] = scaling_pts
 
         # html-only batch (the corpus headline file): replicate the file's
         # chunks to the same grid so the number is amortized dispatch +
@@ -349,6 +466,7 @@ def bench_device(datasets):
             f"device chunk decode ({name} x{NB}): "
             f"{1e3*hdec_t:.1f} ms ({htotal/hdec_t/1e6:.1f} MB/s)"
         )
+        dev["chunk_decode_html_gbps"] = round(htotal / hdec_t / 1e9, 4)
         hem, hin = encode_scalar.pack_blocks(hreps)
         dhem, dhin = jax.device_put(hem), jax.device_put(hin)
         henc_t = pipelined_time(
@@ -358,6 +476,7 @@ def bench_device(datasets):
             f"device block encode ({name} x{NB}): "
             f"{1e3*henc_t:.1f} ms ({htotal/henc_t/1e6:.1f} MB/s)"
         )
+        dev["encode_html_gbps"] = round(htotal / henc_t / 1e9, 4)
 
         # incompressible blocks: the encoder's whole-block literal
         # payloads ride the DMA emitter (ops/emit_long.py)
@@ -375,6 +494,7 @@ def bench_device(datasets):
             f" emitter): {1e3*ienc_t:.1f} ms "
             f"({NB*65536/ienc_t/1e6:.1f} MB/s)"
         )
+        dev["encode_incompressible_gbps"] = round(NB * 65536 / ienc_t / 1e9, 4)
 
         # RLE-class blocks: the match walk rides the long-match
         # continuation modes (16 B/iter, encode_scalar.match_len)
@@ -389,6 +509,7 @@ def bench_device(datasets):
             f"device block encode (RLE x{NB}, long-match modes): "
             f"{1e3*renc_t:.1f} ms ({NB*65536/renc_t/1e6:.1f} MB/s)"
         )
+        dev["encode_rle_gbps"] = round(NB * 65536 / renc_t / 1e9, 4)
 
         emeta, inw = encode_scalar.pack_blocks(blocks128)
         dem, din = jax.device_put(emeta), jax.device_put(inw)
@@ -399,6 +520,7 @@ def bench_device(datasets):
             f"device block encode (scalar core, {NB}x64KiB): "
             f"{1e3*enc_t:.1f} ms ({total/enc_t/1e6:.1f} MB/s)"
         )
+        dev["encode_mixed_gbps"] = round(total / enc_t / 1e9, 4)
 
         # Single raw stream (html) through the 128 KiB big-window kernel.
         enc_stream = engine.raw_compress(data, backend="host") or b""
@@ -418,6 +540,28 @@ def bench_device(datasets):
             )
         out, reason = engine.raw_uncompress(enc_stream, backend="device")
         assert reason == "ok" and out == data
+
+        # Batched multi-stream entry (api.decode_batch): 10 independent
+        # html streams in ONE dispatch — the serving-shaped path that
+        # amortizes the per-call dispatch tax (round-5 VERDICT item 5;
+        # singles line above pays it per call).
+        if declared and declared <= 4 * decode_scalar.RAW_OUT_WORDS:
+            n_streams = 10
+            slab = engine._nb_slab_raw(n_streams)
+            bbodies = [enc_stream[read:]] * n_streams + [b""] * (slab - n_streams)
+            bdecls = [declared] * n_streams + [0] * (slab - n_streams)
+            bm, bc = decode_scalar.pack_raw_batch(bbodies, bdecls)
+            dbm, dbc = jax.device_put(bm), jax.device_put(bc)
+            bat_t = pipelined_time(
+                lambda: decode_scalar.decode_raw_batch_words(dbm, dbc, slab),
+                samples=4,
+            )
+            btot = n_streams * len(data)
+            log(
+                f"device decode_batch ({name} x{n_streams}, one dispatch): "
+                f"{1e3*bat_t:.2f} ms ({btot/bat_t/1e6:.1f} MB/s)"
+            )
+            dev["decode_batch_html_gbps"] = round(btot / bat_t / 1e9, 4)
 
         # Large raw stream through the grid-mode streaming decoder: the
         # whole stream in ONE pallas_call (one grid step per 64 KiB window).
@@ -445,6 +589,7 @@ def bench_device(datasets):
             f" one dispatch): {1e3*stream_t:.0f} ms "
             f"({bdecl/stream_t/1e6:.1f} MB/s)"
         )
+        dev["stream_decode_mixed_gbps"] = round(bdecl / stream_t / 1e9, 4)
 
         # Incompressible raw stream: whole-block literals ride the
         # long-literal DMA emitter (ops/emit_long.py) instead of the
@@ -473,6 +618,7 @@ def bench_device(datasets):
             f" long-literal path): {1e3*inc_t:.1f} ms "
             f"({idecl/inc_t/1e9:.2f} GB/s)"
         )
+        dev["stream_decode_incompressible_gbps"] = round(idecl / inc_t / 1e9, 4)
 
         # RLE-class stream: coalesced copy runs + VPU pattern fill.
         rle = b"j" * (48 * 1024 * 1024)
@@ -497,8 +643,8 @@ def bench_device(datasets):
             f" pattern fill): {1e3*rle_t:.1f} ms "
             f"({rdecl/rle_t/1e9:.2f} GB/s)"
         )
+        dev["stream_decode_rle_gbps"] = round(rdecl / rle_t / 1e9, 4)
     else:
-        dev_framed_dec_mbps = 0.0
         arr = np.frombuffer(data, dtype=np.uint8)
         blocks, blens = engine._split_blocks(arr)
         db, dl = jax.device_put(blocks), jax.device_put(jnp.asarray(blens))
@@ -510,6 +656,7 @@ def bench_device(datasets):
             f"device encode_blocks (XLA fallback) {name}: {1e3*enc_t:.1f} ms "
             f"({len(data)/enc_t/1e6:.1f} MB/s)"
         )
+        dev["encode_xla_fallback_gbps"] = round(len(data) / enc_t / 1e9, 4)
 
     # On-chip CRC32C over framed chunks (16 MiB per step — steady-state
     # batch; at 4 MiB the fixed dispatch dominates and under-reports the
@@ -529,6 +676,7 @@ def bench_device(datasets):
         f"device crc32c {n_crc}x64KiB: {1e3*crc_t:.2f} ms "
         f"({n_crc*65536/crc_t/1e9:.2f} GB/s)"
     )
+    dev["crc32c_gbps"] = round(n_crc * 65536 / crc_t / 1e9, 4)
     from snappy_tpu.ops import crc32c_pallas
 
     if crc32c_pallas.available():
@@ -539,6 +687,7 @@ def bench_device(datasets):
             f"device crc32c (pallas kernel): {1e3*crc_t:.2f} ms "
             f"({n_crc*65536/crc_t/1e9:.2f} GB/s)"
         )
+    return dev
 
 
 def _device_reachable() -> bool:
@@ -562,11 +711,14 @@ def main():
             + rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
         }
 
-    framed_enc_gbps, framed_dec_gbps = bench_host(datasets)
+    host = bench_host(datasets)
 
     if BENCH_BIG:
         bench_big(datasets)
 
+    import subprocess
+
+    dev = {}
     if BENCH_DEVICE and not _device_reachable():
         log(
             "device bench skipped: axon relay not listening (a dead relay "
@@ -575,9 +727,8 @@ def main():
     elif BENCH_DEVICE:
         # The device section runs in a killable subprocess: a wedged TPU
         # tunnel must not be able to hang the benchmark (a stuck device
-        # call cannot be interrupted in-process).
-        import subprocess
-
+        # call cannot be interrupted in-process).  Its metrics come back
+        # as a JSON line on its stdout.
         # 2400 s: a cold/slow relay day needs room for remote recompiles —
         # a premature kill loses the whole section AND can wedge the
         # tunnel pool for ~20 min (a client killed mid-remote-compile).
@@ -592,6 +743,13 @@ def main():
             sys.stderr.write(r.stderr.decode(errors="replace"))
             if r.returncode != 0:
                 log(f"device bench exited with {r.returncode}")
+            for line in r.stdout.decode(errors="replace").splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        dev = json.loads(line)
+                    except json.JSONDecodeError:
+                        pass
         except subprocess.TimeoutExpired as e:
             # keep whatever per-step lines completed before the timeout
             if e.stderr:
@@ -600,16 +758,79 @@ def main():
         except Exception as e:
             log(f"device bench failed: {type(e).__name__}: {e}")
 
-    # Honest labeling (round-1 VERDICT item 4): this number is the HOST
-    # runtime (native C + threads on the TPU VM's cores) — the device
-    # kernels' own numbers are printed per-step in the device section above.
+    # Scaling-efficiency artifact (BASELINE configs 4-5 in the forms one
+    # chip + a virtual mesh allow): measured virtual-mesh collective
+    # overhead + the analytic multi-chip projection.  Runs on the 8-device
+    # CPU mesh in a subprocess (the TPU env pins the platform in-process).
+    scaling = {}
+    try:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mesh-scaling"],
+            timeout=900,
+            stderr=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            env=env,
+        )
+        sys.stderr.write(r.stderr.decode(errors="replace"))
+        for line in r.stdout.decode(errors="replace").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    scaling = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+    except Exception as e:
+        log(f"mesh scaling bench failed: {type(e).__name__}: {e}")
+    if "chunk_batch_scaling_mbps" in dev:
+        scaling["chunk_batch_scaling_mbps"] = dev.pop(
+            "chunk_batch_scaling_mbps"
+        )
+
+    # Multi-chip projection from measured parts: DP over independent 64 KiB
+    # chunks needs ONE all-gather of int32 lengths per batch for exact
+    # output offsets (parallel/mesh.py) — 4 B of collective traffic per
+    # 64 KiB chunk (0.006%).  With v5e ICI at ~40+ GB/s/link, collective
+    # time is < 1e-4 of compute at the measured per-chip rates, so
+    # projected efficiency ~= measured shard balance.
+    balance = scaling.get("virtual8_shard_balance", 1.0)
+    scaling["collective_traffic_bytes_per_64KiB_chunk"] = 4
+    scaling["projected_efficiency_8chip"] = round(float(balance) * 0.9999, 4)
+    scaling["projection_model"] = (
+        "DP over 64KiB chunks; per-batch collectives = one int32 "
+        "all-gather of shard lengths + exclusive scan (parallel/mesh.py); "
+        "t_coll/t_comp < 1e-4 at measured per-chip GB/s => efficiency "
+        "~= shard balance"
+    )
+
+    # Headline: the DEVICE framed decode step (decode + on-chip CRC) on the
+    # mixed corpus batch — the TPU-first number (round-5 VERDICT item 2;
+    # earlier rounds published the host runtime here, which misrepresented
+    # a TPU-first framework).  Host and per-class device numbers ride along.
+    headline = dev.get("framed_decode_step_gbps")
+    if headline is not None:
+        metric = "device_framed_decode_step"
+        value = headline
+    else:
+        # device section unavailable (dead relay): fall back to the host
+        # number, honestly labeled, so the bench still parses.
+        metric = "host_framed_decompress_throughput"
+        value = host["framed_decode_gbps"]
     print(
         json.dumps(
             {
-                "metric": "host_framed_decompress_throughput",
-                "value": round(framed_dec_gbps, 4),
+                "metric": metric,
+                "value": value,
                 "unit": "GB/s",
-                "vs_baseline": round(framed_dec_gbps / REF_FRAMED_DEC_GBPS, 4),
+                "vs_baseline": round(value / REF_FRAMED_DEC_GBPS, 4),
+                "device": dev,
+                "host": host,
+                "scaling": scaling,
             }
         )
     )
@@ -628,14 +849,120 @@ def _device_only():
         import jax
 
         with jax.profiler.trace(PROFILE_DIR):
-            bench_device(datasets)
+            dev = bench_device(datasets)
         log(f"profiler trace written to {PROFILE_DIR}")
     else:
-        bench_device(datasets)
+        dev = bench_device(datasets)
+    print(json.dumps(dev), flush=True)
+
+
+def _mesh_scaling():
+    """Virtual-mesh scaling leg (8 CPU devices): measured collective +
+    shard_map overhead of the sharded decode step vs the same kernels
+    unsharded, and the shard balance of the 47 MB corpus stream's chunks.
+    CPU rates say nothing about TPU throughput — the quantity of interest
+    is the OVERHEAD FRACTION of the collective structure and the balance,
+    which transfer to the real mesh."""
+    import jax
+
+    # The axon sitecustomize pins the TPU platform over JAX_PLATFORMS;
+    # config.update after import reliably forces CPU (same pattern as
+    # tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < 8 or jax.devices()[0].platform != "cpu":
+        log("mesh scaling: needs 8 virtual CPU devices")
+        print(json.dumps({}))
+        return
+    import jax.numpy as jnp
+
+    from snappy_tpu import engine
+    from snappy_tpu.formats import constants as C
+    from snappy_tpu.formats import varint
+    from snappy_tpu.parallel import mesh as pmesh
+    from snappy_tpu.testing import corpus
+
+    files = corpus.available_corpus()
+    datasets = {n: corpus.read_data(n) for n in files} if files else {
+        "synthetic": b"ab" * (1 << 20)
+    }
+    NCH = 128
+    blob = (b"".join(datasets.values()) * 4)[: NCH * C.MAX_BLOCK_LEN]
+    blocks = [
+        blob[i * C.MAX_BLOCK_LEN : (i + 1) * C.MAX_BLOCK_LEN]
+        for i in range(NCH)
+    ]
+    comp = np.zeros((NCH, 80 * 1024), dtype=np.uint8)
+    comp_lens = np.zeros((NCH,), dtype=np.int32)
+    out_lens = np.zeros((NCH,), dtype=np.int32)
+    for k, blk in enumerate(blocks):
+        e = engine.raw_compress(blk, backend="host") or engine.raw_compress(blk)
+        _, v = varint.decode_uint32(e)
+        body = e[v:]
+        comp[k, : len(body)] = np.frombuffer(body, np.uint8)
+        comp_lens[k] = len(body)
+        out_lens[k] = len(blk)
+    # shard balance: compressed bytes per device under the contiguous
+    # sharding the mesh layer uses, at the 512-chunk batch the engine
+    # slabs to (balance is a property of the workload distribution, so it
+    # is computed at production batch size; timing above uses 128 chunks)
+    blob512 = (b"".join(datasets.values()) * 16)[: 512 * C.MAX_BLOCK_LEN]
+    lens512 = np.zeros((512,), dtype=np.int32)
+    for k in range(512):
+        blk = blob512[k * C.MAX_BLOCK_LEN : (k + 1) * C.MAX_BLOCK_LEN]
+        e = engine.raw_compress(blk, backend="host") or engine.raw_compress(blk)
+        lens512[k] = len(e)
+    per_dev = lens512.reshape(8, 64).sum(axis=1)
+    balance = float(per_dev.min() / per_dev.max())
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    results = {}
+    for ndev in (1, 2, 4, 8):
+        mesh = pmesh.default_mesh(ndev)
+        sh2 = NamedSharding(mesh, P(pmesh.AXIS, None))
+        sh1 = NamedSharding(mesh, P(pmesh.AXIS))
+        dc = jax.device_put(comp, sh2)
+        dl = jax.device_put(comp_lens, sh1)
+        do = jax.device_put(out_lens, sh1)
+
+        def run():
+            out = pmesh._sharded_decode_step(
+                dc, dl, do, C.MAX_BLOCK_LEN, mesh=mesh
+            )
+            jax.block_until_ready(out)
+
+        run()
+        t = mean_time(run, samples=3)
+        results[str(ndev)] = t
+        log(
+            f"virtual mesh decode step, {ndev} dev: {1e3*t:.1f} ms "
+            f"({len(blob)/t/1e6:.1f} MB/s aggregate)"
+        )
+    t1, t8 = results["1"], results["8"]
+    log(
+        f"virtual 8-mesh wall-clock speedup {t1/t8:.2f}x (virtual CPU "
+        f"devices SHARE host cores — this floor shows the collective/"
+        f"shard_map structure adds no serial bottleneck, not chip "
+        f"scaling), shard balance {balance:.3f}"
+    )
+    print(
+        json.dumps(
+            {
+                "virtual_mesh_decode_ms": {
+                    k: round(v * 1e3, 2) for k, v in results.items()
+                },
+                "virtual8_wallclock_speedup": round(t1 / t8, 3),
+                "virtual8_shard_balance": round(balance, 4),
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
     if "--device-only" in sys.argv:
         _device_only()
+    elif "--mesh-scaling" in sys.argv:
+        _mesh_scaling()
     else:
         main()
