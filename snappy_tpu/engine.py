@@ -88,8 +88,8 @@ def _decode_scalar_nocrc(meta, comp_words, nb: int):
     return decode_scalar.decode_chunks_words(meta, comp_words, nb)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _encode_frames_scalar(frames_u8, flens, nb: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _encode_frames_scalar(frames_u8, flens, nb: int, level: int = 1):
     """Per-frame masked CRC32C (VPU) + scalar-core block encode."""
     from .ops import encode_scalar
 
@@ -99,12 +99,14 @@ def _encode_frames_scalar(frames_u8, flens, nb: int):
     words = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
     words = jnp.pad(words, ((0, 0), (0, 4))).reshape(nb, 1, -1)
     meta = flens.astype(jnp.int32).reshape(nb, 1, 1)
-    enc_w, elen = encode_scalar.encode_blocks_words(meta, words, nb)
+    enc_w, elen = encode_scalar.encode_blocks_words(
+        meta, words, nb, level=level
+    )
     return crcs, enc_w, elen[:, 0, 0]
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _encode_blocks_scalar(frames_u8, flens, nb: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _encode_blocks_scalar(frames_u8, flens, nb: int, level: int = 1):
     """Scalar-core block encode without CRC (raw format)."""
     from .ops import encode_scalar
 
@@ -113,7 +115,9 @@ def _encode_blocks_scalar(frames_u8, flens, nb: int):
     words = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
     words = jnp.pad(words, ((0, 0), (0, 4))).reshape(nb, 1, -1)
     meta = flens.astype(jnp.int32).reshape(nb, 1, 1)
-    enc_w, elen = encode_scalar.encode_blocks_words(meta, words, nb)
+    enc_w, elen = encode_scalar.encode_blocks_words(
+        meta, words, nb, level=level
+    )
     return enc_w, elen[:, 0, 0]
 
 
@@ -208,7 +212,7 @@ def raw_compress(
                 fr = np.vstack([fr, np.zeros((slab - (hi - lo), _BLOCK), np.uint8)])
                 fl = np.concatenate([fl, np.zeros((slab - (hi - lo),), np.int32)])
             enc_w, elens = _encode_blocks_scalar(
-                jnp.asarray(fr), jnp.asarray(fl), slab
+                jnp.asarray(fr), jnp.asarray(fl), slab, 2 if level >= 2 else 1
             )
             enc_b = np.ascontiguousarray(np.asarray(enc_w)).view(np.uint8)
             elens = np.asarray(elens)
@@ -429,7 +433,7 @@ def framed_compress(
                 fr = np.vstack([fr, np.zeros((slab - (hi - lo), _BLOCK), np.uint8)])
                 fl = np.concatenate([fl, np.zeros((slab - (hi - lo),), np.int32)])
             crc_s, enc_w, elens = _encode_frames_scalar(
-                jnp.asarray(fr), jnp.asarray(fl), slab
+                jnp.asarray(fr), jnp.asarray(fl), slab, 2 if level >= 2 else 1
             )
             enc_b = np.ascontiguousarray(np.asarray(enc_w)).view(np.uint8)
             crcs_l.append(np.asarray(crc_s)[: hi - lo])

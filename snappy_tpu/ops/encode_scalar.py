@@ -54,7 +54,12 @@ INPUT_MARGIN = 15
 
 
 def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
-            el_vbuf, el_hbuf, el_sems, el_semh, sem_z):
+            el_vbuf, el_hbuf, el_sems, el_semh, sem_z, *, ways: int = 1):
+    """``ways`` (static) selects the hash-bucket shape: 1 = reference
+    greedy (byte-identical to the oracle and host C level 1); 2 = two-entry
+    FIFO buckets (the host C ``level=2`` matcher: most-recent candidate
+    first, displaced entry kept as a second chance — denser output,
+    byte-identical to host C level 2)."""
     n = meta_ref[0, 0, 0]
     # long-literal DMA emitter over the (1, 1, N) block views; the VMEM
     # scratch shares the shape family (Mosaic rejects cross-tiling DMA)
@@ -74,7 +79,7 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
     # (tag pack/unpack + epoch compare + select on the hot path).
     @pl.when(pl.program_id(0) == 0)
     def _():
-        ztab_ref[...] = jnp.zeros((TABLE_SIZE,), jnp.int32)
+        ztab_ref[...] = jnp.zeros((TABLE_SIZE * ways,), jnp.int32)
 
     zero_cp = pltpu.make_async_copy(ztab_ref, table_ref, sem_z)
     zero_cp.start()
@@ -329,6 +334,30 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
         table_ref[h] = pos
         return e
 
+    def table_probe_put(h, pos, u):
+        """Probe + insert; returns (match, candidate).  ways=2 keeps a
+        two-entry FIFO per bucket: inserting shifts the previous entry to
+        the second slot, and a double hit prefers the most-recent
+        candidate — exact host C level-2 semantics (encode_block_impl)."""
+        if ways == 1:
+            c = table_get_put(h, pos)
+            return load32(c) == u, c
+        c1 = table_ref[2 * h]
+        c2 = table_ref[2 * h + 1]
+        table_ref[2 * h + 1] = c1
+        table_ref[2 * h] = pos
+        m1 = load32(c1) == u
+        match = m1 | (load32(c2) == u)
+        return match, jax.lax.select(m1, c1, c2)
+
+    def table_put_shift(h, pos):
+        """Insert-only (the chain loop's prev-position insert)."""
+        if ways == 1:
+            table_ref[h] = pos
+        else:
+            table_ref[2 * h + 1] = table_ref[2 * h]
+            table_ref[2 * h] = pos
+
     def _tail_bytes(x):
         """Matching low bytes of a word-pair XOR (0..4)."""
         return (
@@ -575,7 +604,7 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
         bbh = skip >> 5
         u = load32(ip)
         h = hash32(u, mask)
-        c = table_get_put(h, ip)
+        match, c = table_probe_put(h, ip, u)
         # The reference checks ip+step BEFORE probing and bails to the
         # remainder literal without probing (encoder.nim:311-331 / the
         # oracle's next_s > s_limit return); suppressing the hit here is
@@ -589,7 +618,6 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
         # the ~hit/& pair from the condition (round 5 A/B: e36).
         nip = ip + bbh
         inb = nip <= ip_limit
-        match = load32(c) == u
         hit2 = match & inb
         ip2 = jax.lax.select(hit2, ip, nip)
         return ip2, skip + bbh, c, hit2, inb & (~match)
@@ -630,11 +658,11 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
                 # re-zeroed per chunk) and the loads stay in the padded
                 # slab, so only the hit needs masking
                 h1 = hash32(load32(ip2 - 1), mask)
-                table_ref[h1] = ip2 - 1
+                table_put_shift(h1, ip2 - 1)
                 u = load32(ip2)
                 h = hash32(u, mask)
-                c2 = table_get_put(h, ip2)
-                hit2 = (load32(c2) == u) & (~over)
+                m, c2 = table_probe_put(h, ip2, u)
+                hit2 = m & (~over)
                 return ip2, op2, c2, hit2
 
             ip2, op2, _, _ = jax.lax.while_loop(
@@ -689,9 +717,9 @@ def _kernel(meta_ref, in_ref, enc_ref, elen_ref, table_ref, ztab_ref,
     elen_ref[0, 0, 0] = op_final
 
 
-def _call(meta, in_words, nb: int, interpret: bool):
+def _call(meta, in_words, nb: int, interpret: bool, ways: int = 1):
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, ways=ways),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
@@ -710,8 +738,8 @@ def _call(meta, in_words, nb: int, interpret: bool):
             jax.ShapeDtypeStruct((nb, 1, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.SMEM((TABLE_SIZE,), jnp.int32),
-            pltpu.VMEM((TABLE_SIZE,), jnp.int32),
+            pltpu.SMEM((TABLE_SIZE * ways,), jnp.int32),
+            pltpu.VMEM((TABLE_SIZE * ways,), jnp.int32),
             pltpu.VMEM((1, 1, emit_long_mod.VB_WORDS), jnp.int32),
             pltpu.VMEM((1, 1, emit_long_mod.HB_WORDS), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -722,23 +750,29 @@ def _call(meta, in_words, nb: int, interpret: bool):
     )(meta, in_words)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _encode_blocks_words_jit(meta, in_words, nb: int, interpret: bool):
-    return _call(meta, in_words, nb, interpret)
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _encode_blocks_words_jit(meta, in_words, nb: int, interpret: bool,
+                             ways: int):
+    return _call(meta, in_words, nb, interpret, ways)
 
 
-def encode_blocks_words(meta, in_words, nb: int, interpret=None):
+def encode_blocks_words(meta, in_words, nb: int, interpret=None,
+                        level: int = 1):
     """Encode ``nb`` independent <= 64 KiB blocks to raw tag streams.
 
     meta: int32 [nb, 1, 1] — block length per chunk
     in_words: int32 [nb, 1, IN_PAD] — packed LE bytes, zero-padded
+    level: 1 = reference greedy (byte-identical to the oracle / host C
+    level 1); 2 = two-way buckets (byte-identical to host C level 2).
     Returns (enc_words [nb, 1, ENC_WORDS], enc_len [nb, 1, 1]).
     """
     if interpret is None:
         from . import decode_scalar
 
         interpret = decode_scalar._forced_interpret()
-    return _encode_blocks_words_jit(meta, in_words, nb, bool(interpret))
+    return _encode_blocks_words_jit(
+        meta, in_words, nb, bool(interpret), 2 if level >= 2 else 1
+    )
 
 
 def pack_blocks(blocks):

@@ -306,3 +306,25 @@ class TestEncoderByteIdentityAcrossBackends:
             e = host_codec.raw_compress(blk)
             _, r = varint.decode_uint32(e)
             assert e[r:] == oracle.encode_block(blk)
+
+
+class TestLevelTwoBackends:
+    """encode(level=2) means the same thing on the host backend and the
+    device scalar kernel: identical bytes (round-5 VERDICT item 7)."""
+
+    def test_level2_bytes_match_across_backends(self, monkeypatch):
+        from snappy_tpu.ops import host_codec
+
+        if not host_codec.available():
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        monkeypatch.setenv("SNAPPY_TPU_SCALAR_INTERPRET", "1")
+        payload = (b"two way buckets " * 6000)[:90_000]  # two blocks
+        enc_host = engine.raw_compress(payload, backend="host", level=2)
+        enc_dev = engine.raw_compress(payload, backend="device", level=2)
+        assert enc_host == enc_dev
+        assert engine.raw_uncompress(enc_dev, backend="host")[0] == payload
+        f_host = engine.framed_compress(payload, backend="host", level=2)
+        f_dev = engine.framed_compress(payload, backend="device", level=2)
+        assert f_host == f_dev

@@ -918,3 +918,74 @@ class TestRawBatchKernel:
         assert status[1, 0, 0] == 0
         assert out_b[0, 0, : len(good)].tobytes() == good
         assert out_b[2, 0, : len(good)].tobytes() == good
+
+
+class TestLevel2Kernel:
+    """Device level-2 encoder (two-entry FIFO buckets): byte parity with
+    the host C level-2 matcher, density no worse than level 1 on
+    compressible corpus data (round-5 VERDICT item 7)."""
+
+    def _host_l2(self, block):
+        from snappy_tpu.ops import host_codec
+
+        if not host_codec.available():
+            pytest.skip("native lib unavailable")
+        enc = host_codec.raw_compress(block, level=2)
+        _, v = varint.decode_uint32(enc)
+        return enc[v:]
+
+    def test_byte_parity_with_host_l2(self):
+        from snappy_tpu.testing import corpus
+
+        if corpus.corpus_root() is None:
+            pytest.skip("corpus unavailable")
+        blocks = []
+        for name in ("html", "geo.protodata", "asyoulik.txt"):
+            data = corpus.read_data(name)
+            blocks.append(data[:65536])
+            blocks.append(data[65536:131072] or data[:30000])
+        blocks.append(b"q" * 50000)               # RLE long-match path
+        blocks.append(bytes(random.Random(7).randbytes(20000)))
+        meta, inw = encode_scalar.pack_blocks(blocks)
+        enc_w, elen = encode_scalar.encode_blocks_words(
+            meta, inw, len(blocks), interpret=True, level=2
+        )
+        encs = encode_scalar.unpack_enc(
+            np.asarray(enc_w), np.asarray(elen)[:, 0, 0]
+        )
+        for k, blk in enumerate(blocks):
+            assert encs[k] == self._host_l2(blk), f"block {k} != host l2"
+
+    def test_l2_not_larger_on_corpus(self):
+        from snappy_tpu.testing import corpus
+
+        if corpus.corpus_root() is None:
+            pytest.skip("corpus unavailable")
+        data = corpus.read_data("html")
+        blocks = [data[:65536]]
+        meta, inw = encode_scalar.pack_blocks(blocks)
+        sizes = {}
+        for lvl in (1, 2):
+            _, elen = encode_scalar.encode_blocks_words(
+                meta, inw, 1, interpret=True, level=lvl
+            )
+            sizes[lvl] = int(np.asarray(elen)[0, 0, 0])
+        assert sizes[2] <= sizes[1]
+
+    def test_l2_roundtrip(self):
+        payload = (b"level two round trip " * 700)[:14000]
+        import snappy_tpu as s
+        from snappy_tpu.testing import oracle
+
+        blocks = [payload]
+        meta, inw = encode_scalar.pack_blocks(blocks)
+        enc_w, elen = encode_scalar.encode_blocks_words(
+            meta, inw, 1, interpret=True, level=2
+        )
+        body = encode_scalar.unpack_enc(
+            np.asarray(enc_w), np.asarray(elen)[:, 0, 0]
+        )[0]
+        enc = varint.encode_uint32(len(payload)) + body
+        assert s.decode(enc) == payload
+        dec, err = oracle.uncompress(enc)
+        assert err is None and dec == payload
