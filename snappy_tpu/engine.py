@@ -280,10 +280,11 @@ def raw_uncompress(
             out_b = np.ascontiguousarray(np.asarray(out_words)).view(np.uint8)
             return out_b[0, 0, : int(declared)].tobytes(), "ok"
 
-        # Any larger raw stream: the windowed streaming decoder (one scan
-        # dispatch, device-resident).  "unsupported" = a legal copy offset
-        # reaching further than the 64 KiB window history (no known encoder
-        # emits one) — fall through to the XLA kernels for that stream.
+        # Any larger raw stream: the windowed streaming decoder (one
+        # dispatch, device-resident).  Grid mode serves every legal
+        # tagCopy4 offset (>64 KiB reaches come from the flushed HBM
+        # output, round 5); "unsupported" only remains reachable from the
+        # scan-mode cross-check — fall through to the XLA kernels then.
         # The kernels track positions in int32: stay clear of 2^31.
         if declared < (1 << 31) - (1 << 21) and len(body) < (1 << 31) - (1 << 21):
             from .ops import decode_stream

@@ -52,3 +52,171 @@ class TestPallasCrcInterpret:
         for k in range(n):
             want = crc32c_native.masked_crc32c(chunks[k].tobytes())
             assert int(got[k]) == want, f"chunk {k}"
+
+
+class TestFarCopyGrid:
+    """Legal tagCopy4 offsets beyond the 64 KiB window history are served
+    from the flushed HBM output by the grid decoder (round-5 VERDICT item
+    6; decoder.nim:103-113 accepts these natively — no known encoder emits
+    them, but the format allows them)."""
+
+    @staticmethod
+    def _copy4(off, length):
+        return bytes(
+            [0x03 | ((length - 1) << 2), off & 255, (off >> 8) & 255,
+             (off >> 16) & 255, (off >> 24) & 255]
+        )
+
+    @staticmethod
+    def _literal(data):
+        from snappy_tpu.formats import varint as v
+
+        n = len(data) - 1
+        if n < 60:
+            return bytes([n << 2]) + data
+        if n < 256:
+            return bytes([60 << 2, n]) + data
+        assert n < 65536
+        return bytes([61 << 2, n & 255, n >> 8]) + data
+
+    def _grid(self, body, declared):
+        from snappy_tpu.ops import decode_stream
+
+        return decode_stream.decode_raw_stream_bytes(
+            body, declared, interpret=True, mode="grid"
+        )
+
+    def test_far_copy_served_from_hbm(self):
+        import random as _r
+
+        rng = _r.Random(13)
+        base = bytes(rng.randrange(256) for _ in range(180_000))
+        body = b"".join(
+            self._literal(base[i : i + 60_000])
+            for i in range(0, len(base), 60_000)
+        )
+        expected = bytearray(base)
+        # far copies at several alignments/depths (all > 64 KiB + w back)
+        for off, ln in ((170_001, 64), (131_073, 17), (179_999, 7),
+                        (100_000 + 65_537, 64)):
+            body += self._copy4(off, ln)
+            start = len(expected) - off
+            for i in range(ln):
+                expected.append(expected[start + i])
+        out, reason = self._grid(body, len(expected))
+        assert reason == "ok" and out == bytes(expected)
+
+    def test_far_copy_dense_stream(self):
+        # adversarial: a long run of far copies back to back
+        import random as _r
+
+        rng = _r.Random(14)
+        base = bytes(rng.randrange(256) for _ in range(140_000))
+        body = b"".join(
+            self._literal(base[i : i + 60_000])
+            for i in range(0, len(base), 60_000)
+        )
+        expected = bytearray(base)
+        for k in range(400):
+            off = 131_072 + (k * 97) % 8000
+            ln = 4 + (k % 61)
+            body += self._copy4(off, ln)
+            start = len(expected) - off
+            for i in range(ln):
+                expected.append(expected[start + i])
+        out, reason = self._grid(body, len(expected))
+        assert reason == "ok" and out == bytes(expected)
+
+    def test_far_copy_splitting_window_resumes(self):
+        # a >64 KiB-reach copy that straddles the output-window boundary:
+        # the pending remainder resumes at w=0 where the offset exceeds
+        # the SMEM history — service() must serve it from HBM (regression:
+        # an SMEM emit read below the buffer; a round-5 interim fix
+        # rejected the stream as `unsupported`)
+        import random as _r
+
+        rng = _r.Random(15)
+        base = bytes(rng.randrange(256) for _ in range(131_060))
+        body = b"".join(
+            self._literal(base[i : i + 60_000])
+            for i in range(0, len(base), 60_000)
+        )
+        expected = bytearray(base)
+        off = 70_000
+        ln = 40  # crosses the 131072 window boundary mid-copy
+        body += self._copy4(off, ln)
+        start = len(expected) - off
+        for i in range(ln):
+            expected.append(expected[start + i])
+        out, reason = self._grid(body, len(expected))
+        assert reason == "ok" and out == bytes(expected)
+
+    def test_truly_far_copy_splitting_window_resumes(self):
+        """A copy that is FAR at parse time (off > 64 KiB + w) AND splits
+        at the output-window boundary: the emitted part comes from HBM in
+        the slow step, the pending remainder from HBM in service() —
+        regression: recording it as a pending copy made the next window's
+        service emit from SMEM far below the history (device INTERNAL
+        error, round 5)."""
+        import random as _r
+
+        rng = _r.Random(16)
+        base = bytes(rng.randrange(256) for _ in range(196_600))
+        body = b"".join(
+            self._literal(base[i : i + 60_000])
+            for i in range(0, len(base), 60_000)
+        )
+        expected = bytearray(base)
+        off, ln = 150_000, 20  # at w=65528 of window 2: far, splits at 196608
+        body += self._copy4(off, ln)
+        start = len(expected) - off
+        for i in range(ln):
+            expected.append(expected[start + i])
+        out, reason = self._grid(body, len(expected))
+        assert reason == "ok" and out == bytes(expected)
+
+    def test_far_copy_fuzz(self):
+        """Randomized far-copy placement fuzz (round-5 VERDICT item 6):
+        random mixes of literals and copies with offsets crossing the
+        64 KiB history reach, including window-boundary straddles, must
+        decode bit-exactly on the grid path."""
+        hypothesis = pytest.importorskip("hypothesis")
+        import os
+        import random as _r
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @given(st.integers(0, 2**31 - 1))
+        @settings(
+            max_examples=int(os.environ.get("SNAPPY_TPU_FUZZ_EXAMPLES", "10")),
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def run(seed):
+            rng = _r.Random(seed)
+            body = bytearray()
+            exp = bytearray()
+            # seed history: 140-200 KB of literals
+            n0 = rng.randrange(140_000, 200_000)
+            base = bytes(rng.randrange(256) for _ in range(n0))
+            for i in range(0, n0, 60_000):
+                body += self._literal(base[i : i + 60_000])
+            exp += base
+            for _ in range(rng.randrange(3, 25)):
+                if rng.random() < 0.4:
+                    lit = bytes(rng.randrange(256)
+                                for _ in range(rng.randrange(1, 3000)))
+                    body += self._literal(lit)
+                    exp += lit
+                else:
+                    off = rng.randrange(60_000, len(exp))
+                    ln = rng.randrange(4, 65)
+                    body += self._copy4(off, ln)
+                    start = len(exp) - off
+                    for i in range(ln):
+                        exp.append(exp[start + i])
+            out, reason = self._grid(bytes(body), len(exp))
+            assert reason == "ok" and out == bytes(exp), (seed, reason)
+
+        run()

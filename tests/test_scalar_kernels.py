@@ -133,12 +133,14 @@ class TestScalarDecoder:
 
 
 
-    def test_split_copy_beyond_history_flags_unsupported(self):
+    def test_split_copy_beyond_history_resumes_from_hbm(self):
         """A legal tagCopy4 with offset in (64 KiB, written] that SPLITS at
         an output-window boundary resumes at w=0 in the next window, where
-        only 64 KiB of history exists — the kernel must flag the stream
-        unsupported (engine falls back to the XLA decoder) instead of
-        decoding wrong bytes with reason ok."""
+        the offset exceeds the SMEM history.  Round 4 flagged the stream
+        unsupported (XLA fallback); since round 5 the grid kernel serves
+        the pending remainder from the flushed output in HBM and must
+        decode it bit-exactly.  SCAN mode (the differential oracle) keeps
+        the unsupported flag."""
         from snappy_tpu.ops import decode_stream
 
         rng = random.Random(13)
@@ -165,9 +167,13 @@ class TestScalarDecoder:
         body += tail
         out += tail
         got, reason = decode_stream.decode_raw_stream_bytes(
-            bytes(body), len(out), interpret=True
+            bytes(body), len(out), interpret=True, mode="grid"
         )
-        assert reason == "unsupported", (reason, got == bytes(out))
+        assert reason == "ok" and got == bytes(out)
+        got, reason = decode_stream.decode_raw_stream_bytes(
+            bytes(body), len(out), interpret=True, mode="scan"
+        )
+        assert reason == "unsupported"
 
 
     def test_malformed_decisions_match_oracle(self):
