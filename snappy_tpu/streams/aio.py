@@ -110,7 +110,16 @@ async def uncompress_framed(
             if _config.resolve_backend() == "host" and _hc.available():
                 import numpy as np
 
-                out_buf = np.empty((8 << 20,), dtype=np.uint8)
+                # grow-only scratch shared with the sync adapter's pool:
+                # back-to-back calls reuse warm pages instead of paying
+                # ~8 MB of page faults per window
+                from . import sync as _sync
+
+                scratch = getattr(_sync._tls, "aio_out", None)
+                if scratch is None:
+                    scratch = np.empty((8 << 20,), dtype=np.uint8)
+                    _sync._tls.aio_out = scratch
+                out_buf = scratch
                 roff = 0
                 while roff < pos:
                     r, w, reason = _hc.framed_resume_decode(
