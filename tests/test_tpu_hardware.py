@@ -96,3 +96,53 @@ def test_stream_decode_on_chip(tpu):
         enc[v:], len(payload), interpret=False
     )
     assert reason == "ok" and out == payload
+
+
+def test_level2_parity_on_chip(tpu):
+    import numpy as np
+
+    from snappy_tpu.formats import varint
+    from snappy_tpu.ops import encode_scalar, host_codec
+    from snappy_tpu.testing import corpus
+
+    if not host_codec.available():
+        pytest.skip("native lib unavailable")
+    data = corpus.read_data("geo.protodata") or (b"lvl2 hw " * 9000)
+    blocks = [data[:65536], b"q" * 40000]
+    meta, inw = encode_scalar.pack_blocks(blocks)
+    enc_w, elen = encode_scalar.encode_blocks_words(
+        meta, inw, 2, False, level=2
+    )
+    encs = encode_scalar.unpack_enc(
+        np.asarray(enc_w), np.asarray(elen)[:, 0, 0]
+    )
+    for k, blk in enumerate(blocks):
+        ref = host_codec.raw_compress(blk, level=2)
+        _, v = varint.decode_uint32(ref)
+        assert encs[k] == ref[v:], f"block {k}: device l2 != host l2"
+
+
+def test_far_copy_stream_on_chip(tpu):
+    import random
+
+    from snappy_tpu.ops import decode_stream
+
+    rng = random.Random(99)
+    base = bytes(rng.randrange(256) for _ in range(180_000))
+    body = bytearray()
+    for i in range(0, len(base), 60_000):
+        seg = base[i : i + 60_000]
+        body += bytes([61 << 2]) + (len(seg) - 1).to_bytes(2, "little") + seg
+    exp = bytearray(base)
+    for off, ln in ((170_001, 64), (131_073, 17), (100_000 + 65_537, 40)):
+        body += bytes(
+            [3 | ((ln - 1) << 2), off & 255, (off >> 8) & 255,
+             (off >> 16) & 255, (off >> 24) & 255]
+        )
+        st = len(exp) - off
+        for i in range(ln):
+            exp.append(exp[st + i])
+    out, reason = decode_stream.decode_raw_stream_bytes(
+        bytes(body), len(exp), interpret=False, mode="grid"
+    )
+    assert reason == "ok" and out == bytes(exp)
