@@ -346,7 +346,8 @@ def raw_uncompress_batch(
     from .ops import decode_scalar
 
     results: List[Optional[Tuple[Optional[bytes], str]]] = [None] * len(datas)
-    batch = []  # (result_index, body_bytes, declared)
+    batch_small = []  # (result_index, body, declared): <= 64 KiB out
+    batch_big = []    # 64 KiB < out <= 128 KiB: big-window shapes
     for i, data in enumerate(datas):
         data = bytes(data)
         declared64, _ = varint.decode_uint64(data)
@@ -364,18 +365,48 @@ def raw_uncompress_batch(
         if declared == 0:
             results[i] = (b"", "ok") if len(body) == 0 else (None, "invalid")
             continue
-        if (
-            _use_scalar_kernels()
-            and len(body) > 0
-            and declared <= 4 * decode_scalar.RAW_OUT_WORDS
+        if not (_use_scalar_kernels() and len(body) > 0):
+            results[i] = raw_uncompress(data, max_size, backend=bk)
+        elif (
+            declared <= 4 * decode_scalar.OUT_WORDS
+            and len(body) <= 4 * decode_scalar.C_WORDS
+        ):
+            # One-block streams ride the chunk-shaped kernel: same on-chip
+            # rate as the big window (e37: 115.8 vs 115.0 MB/s on a mixed
+            # 40-50 KB batch) but half the padded transfer per lane and a
+            # 4x larger slab, which is what the tunnel-bound end-to-end
+            # path pays for (round 5).
+            batch_small.append((i, body, int(declared)))
+        elif (
+            declared <= 4 * decode_scalar.RAW_OUT_WORDS
             and len(body) <= 4 * decode_scalar.RAW_C_WORDS
         ):
-            batch.append((i, body, int(declared)))
+            batch_big.append((i, body, int(declared)))
         else:
             results[i] = raw_uncompress(data, max_size, backend=bk)
 
-    for lo in range(0, len(batch), 128):
-        sub = batch[lo : lo + 128]
+    for lo in range(0, len(batch_small), 512):
+        sub = batch_small[lo : lo + 512]
+        slab = _nb_slab(len(sub))
+        bodies = [b for _, b, _ in sub]
+        decls = [d for _, _, d in sub]
+        while len(bodies) < slab:
+            bodies.append(b"")
+            decls.append(0)
+        meta, comp = decode_scalar.pack_chunks(bodies, decls)
+        out_words, status = _decode_scalar_nocrc(
+            jnp.asarray(meta), jnp.asarray(comp), slab
+        )
+        status = np.asarray(status)
+        out_b = np.ascontiguousarray(np.asarray(out_words)).view(np.uint8)
+        for k, (i, _, declared) in enumerate(sub):
+            if status[k, 0, 0] and status[k, 0, 1] == declared:
+                results[i] = (out_b[k, 0, :declared].tobytes(), "ok")
+            else:
+                results[i] = (None, "invalid")
+
+    for lo in range(0, len(batch_big), 128):
+        sub = batch_big[lo : lo + 128]
         slab = _nb_slab_raw(len(sub))
         bodies = [b for _, b, _ in sub]
         decls = [d for _, _, d in sub]

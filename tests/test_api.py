@@ -154,6 +154,41 @@ class TestDecodeBatch:
         assert batch == singles
         assert batch[2] == b""                     # the malformed one
 
+    def test_chunk_route_boundary(self):
+        """Streams at exactly 64 KiB output ride the chunk-shaped slab;
+        65537 B is the first big-window stream (engine.raw_uncompress_batch
+        round-5 split). Both must match decode(), on both backends (the
+        auto backend resolves to host, which bypasses the split)."""
+        from snappy_tpu import engine
+
+        payloads = [
+            (b"edge case data " * 5000)[:65536],
+            (b"edge case data " * 5000)[:65537],
+            (b"Z" * 65536),
+        ]
+        encs = [s.encode(p) for p in payloads]
+        assert s.decode_batch(encs) == payloads
+        dev = engine.raw_uncompress_batch(encs, backend="device")
+        assert [r[0] for r in dev] == payloads
+        assert all(r[1] == "ok" for r in dev)
+
+    def test_small_declared_oversized_body(self):
+        """declared <= 64 KiB but the body exceeds the chunk slab's comp
+        capacity (pathological expansion): must route to the big-window
+        slab, not be forced down the chunk route."""
+        from snappy_tpu import engine
+        from snappy_tpu.formats import varint
+        from snappy_tpu.ops import decode_scalar
+
+        # 64 KiB emitted as 65536 one-byte literals: body = 2x declared
+        payload = bytes(range(256)) * 256
+        body = b"".join(b"\x00" + payload[i:i + 1] for i in range(65536))
+        assert len(body) > 4 * decode_scalar.C_WORDS
+        enc = varint.encode_uint32(len(payload)) + body
+        assert s.decode_batch([enc]) == [payload]
+        (out, reason), = engine.raw_uncompress_batch([enc], backend="device")
+        assert reason == "ok" and out == payload
+
     def test_max_size_guard(self):
         enc = s.encode(b"x" * 10_000)
         assert s.decode_batch([enc], max_size=9_999) == [b""]
