@@ -77,3 +77,31 @@ class TestFramedMutationDifferential:
             )
             if host is not None:
                 assert host == dev, f"trial {trial}: payload mismatch"
+
+
+@pytest.mark.skipif(not host_codec.available(), reason="no native codec")
+class TestBatchMutationDifferential:
+    """decode_batch is a distinct engine path (chunk-slab / big-window
+    split + per-slab packing, engine.raw_uncompress_batch): its verdicts
+    and bytes must match per-stream decode on BOTH backends for mutants
+    of valid streams mixed with valid ones."""
+
+    def test_batch_matches_singles(self):
+        rng = random.Random(4099)
+        for trial in range(12 * _SCALE):
+            encs = []
+            for _ in range(rng.randrange(2, 7)):
+                payload = _payload(rng, rng.randrange(10, 3000))
+                enc = s.encode(payload)
+                if rng.random() < 0.5:
+                    enc = _mutate(rng, enc)
+                encs.append(enc)
+            for bk in ("host", "device"):
+                singles = [engine.raw_uncompress(e, backend=bk) for e in encs]
+                batch = engine.raw_uncompress_batch(encs, backend=bk)
+                for k, (sg, bt) in enumerate(zip(singles, batch)):
+                    assert (sg[0] is None) == (bt[0] is None), (
+                        f"trial {trial} stream {k} {bk}: "
+                        f"single={sg[1]} batch={bt[1]}"
+                    )
+                    assert sg[0] == bt[0], f"trial {trial} stream {k} {bk}"
