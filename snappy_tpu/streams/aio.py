@@ -21,7 +21,7 @@ from ..formats.errors import (
     raise_input_too_large,
 )
 
-_DEFAULT_BATCH = 64
+_DEFAULT_BATCH = 128  # 8 MiB encode window (measured in streams/sync.py)
 
 
 async def compress(

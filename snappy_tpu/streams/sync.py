@@ -32,7 +32,11 @@ from ..formats.errors import (
     raise_input_too_large,
 )
 
-_DEFAULT_BATCH = 64  # frames per device round-trip (4 MiB of payload)
+# Frames per encode batch (8 MiB of payload — the same window the decode
+# loop uses).  64-frame batches half-feed the host thread pool (4 MiB =
+# 4 spans of host_codec._SPAN): measured 0.49 vs 0.75 GB/s at 128 on the
+# 47 MB bench payload; 256 is flat, 720 regresses (cache pressure).
+_DEFAULT_BATCH = 128
 _tls = threading.local()  # grow-only decode window buffers
 
 
