@@ -1066,14 +1066,22 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
                 pos, w, _ = s
                 b, hdr, is_lit, needs, ext_val, length, off = parse(pos)
 
-                pay_end = pos + hdr + jax.lax.select(is_lit, length, 0)
-                # unsigned-wrap folds (decoder.nim:111 trick): pay_end < 0
-                # becomes a huge uint32, and ONE wrap compare covers the
-                # offset's invalid cases (off <= 0, off > reach) together
-                # with the special ones the slow step resolves
-                special = needs & ((ext_val < 0) | (length < 0))
-                special |= is_lit & (
-                    pay_end.astype(jnp.uint32) > navail.astype(jnp.uint32))
+                # Unsigned-wrap folds (decoder.nim:111 trick; the same
+                # shape the chunk kernel's parse_validate uses): ONE
+                # `consumed > navail - pos` wrap compare covers the
+                # literal-payload overrun (mid-stream slice straddles ->
+                # slow-step split, and end-of-stream truncation), the
+                # copy-header overrun (only reachable at stream end —
+                # mid-stream, navail_guard keeps tag starts a full parse
+                # margin inside the slice), and int32 wraparound of
+                # hdr + length (length = INT_MIN from ext 0x7fffffff
+                # makes consumed hugely negative -> huge uint32).
+                # Folding these was worth ~5 ops/tag over the previous
+                # separate is_lit/~is_lit compares (round 5, e39).
+                consumed = hdr + jax.lax.select(is_lit, length, 0)
+                special = needs & (ext_val < 0)
+                special |= consumed.astype(jnp.uint32) > (
+                    navail - pos).astype(jnp.uint32)
                 if with_runs:
                     # runs walk keeps near copies in the fast loop (its
                     # coalesced pattern fills live in the near arm)
@@ -1086,7 +1094,7 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
                     # exactly
                     off_special = (off - 4).astype(jnp.uint32) >= (
                         jnp.maximum(hist_cap + w - 3, 0)).astype(jnp.uint32)
-                special |= (~is_lit) & ((pos + hdr > navail) | off_special)
+                special |= (~is_lit) & off_special
                 special |= length > m - w
                 if with_long:
                     special |= is_lit & (length >= emit_long_mod.LONG_T)
@@ -1109,8 +1117,7 @@ def _kernel_grid(lut_ref, st_ref, comp_hbm, out_hbm, stout_ref,
 
                 fdisp(pos, w, hdr, is_lit, off, special, eff)
 
-                adv = (pos + hdr + extra
-                       + jax.lax.select(is_lit, length, jnp.int32(0)))
+                adv = pos + consumed + extra
                 pos2 = jax.lax.select(special, pos, adv)
                 w2 = jax.lax.select(special, w, w + eff)
                 return pos2, w2, special
