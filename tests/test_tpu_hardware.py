@@ -146,3 +146,37 @@ def test_far_copy_stream_on_chip(tpu):
         bytes(body), len(exp), interpret=False, mode="grid"
     )
     assert reason == "ok" and out == bytes(exp)
+
+
+def test_decode_batch_routes_on_chip(tpu):
+    """Both decode_batch slab routes (chunk-shaped for <= 64 KiB streams,
+    big-window above) on the compiled kernels, plus the boundary pair."""
+    from snappy_tpu import engine
+
+    payloads = [
+        (b"hw batch route " * 5000)[:65536],   # chunk route, at the edge
+        (b"hw batch route " * 5000)[:65537],   # first big-window stream
+        b"z" * 40_000,                          # chunk route, RLE
+        (b"mixed hw " * 12000)[:100_000],       # big window
+    ]
+    encs = [engine.raw_compress(p, backend="host") for p in payloads]
+    res = engine.raw_uncompress_batch(encs, backend="device")
+    assert [r[0] for r in res] == payloads
+    assert all(r[1] == "ok" for r in res)
+
+
+def test_periodic_run_decode_on_chip(tpu):
+    """Far-offset periodic runs (emit_copy_dma self-copy arm): page
+    duplicates and power-of-two periods must decode bit-exactly through
+    the compiled grid kernel (rates measured in e38)."""
+    import numpy as np
+
+    from snappy_tpu import engine
+
+    rng = np.random.default_rng(17)
+    for period in (8, 128, 4096):
+        pat = rng.integers(0, 256, period, np.uint8).tobytes()
+        payload = (pat * (1_500_000 // period + 1))[:1_500_000]
+        enc = engine.raw_compress(payload, backend="host")
+        out, reason = engine.raw_uncompress(enc, backend="device")
+        assert reason == "ok" and out == payload, f"period {period}"
