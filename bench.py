@@ -545,23 +545,56 @@ def bench_device(datasets):
         # html streams in ONE dispatch — the serving-shaped path that
         # amortizes the per-call dispatch tax (round-5 VERDICT item 5;
         # singles line above pays it per call).
-        if declared and declared <= 4 * decode_scalar.RAW_OUT_WORDS:
+        if declared:
+            from snappy_tpu.ops import host_codec as _hc
+
             n_streams = 10
-            slab = engine._nb_slab_raw(n_streams)
-            bbodies = [enc_stream[read:]] * n_streams + [b""] * (slab - n_streams)
-            bdecls = [declared] * n_streams + [0] * (slab - n_streams)
-            bm, bc = decode_scalar.pack_raw_batch(bbodies, bdecls)
-            dbm, dbc = jax.device_put(bm), jax.device_put(bc)
-            bat_t = pipelined_time(
-                lambda: decode_scalar.decode_raw_batch_words(dbm, dbc, slab),
-                samples=4,
-            )
-            btot = n_streams * len(data)
-            log(
-                f"device decode_batch ({name} x{n_streams}, one dispatch): "
-                f"{1e3*bat_t:.2f} ms ({btot/bat_t/1e6:.1f} MB/s)"
-            )
-            dev["decode_batch_html_gbps"] = round(btot / bat_t / 1e9, 4)
+            sbody = enc_stream[read:]
+            offs = _hc.scan_raw_blocks(sbody, declared)
+            if offs is not None:
+                # Production route (round 5): the native tag scan splits
+                # the stream at 64 KiB output-block boundaries and the
+                # segments decode as independent chunks in 512-lane slabs
+                # (engine.raw_uncompress_batch).
+                segs, sdec = [], []
+                for k in range(len(offs) - 1):
+                    segs.append(sbody[offs[k] : offs[k + 1]])
+                    sdec.append(min(65536, declared - k * 65536))
+                bbodies = segs * n_streams
+                bdecls = sdec * n_streams
+                n_lanes = len(bbodies)
+                slab = engine._nb_slab(n_lanes)
+                bbodies += [b""] * (slab - n_lanes)
+                bdecls += [0] * (slab - n_lanes)
+                bm, bc = decode_scalar.pack_chunks(bbodies, bdecls)
+                dbm, dbc = jax.device_put(bm), jax.device_put(bc)
+                bat_t = pipelined_time(
+                    lambda: engine._decode_scalar_nocrc(dbm, dbc, slab),
+                    samples=4,
+                )
+                route = f"{n_lanes} chunk lanes"
+            elif declared <= 4 * decode_scalar.RAW_OUT_WORDS:
+                slab = engine._nb_slab_raw(n_streams)
+                bbodies = [sbody] * n_streams + [b""] * (slab - n_streams)
+                bdecls = [declared] * n_streams + [0] * (slab - n_streams)
+                bm, bc = decode_scalar.pack_raw_batch(bbodies, bdecls)
+                dbm, dbc = jax.device_put(bm), jax.device_put(bc)
+                bat_t = pipelined_time(
+                    lambda: decode_scalar.decode_raw_batch_words(
+                        dbm, dbc, slab),
+                    samples=4,
+                )
+                route = "big-window lanes"
+            else:
+                bat_t = None
+            if bat_t is not None:
+                btot = n_streams * len(data)
+                log(
+                    f"device decode_batch ({name} x{n_streams}, one "
+                    f"dispatch, {route}): "
+                    f"{1e3*bat_t:.2f} ms ({btot/bat_t/1e6:.1f} MB/s)"
+                )
+                dev["decode_batch_html_gbps"] = round(btot / bat_t / 1e9, 4)
 
         # Large raw stream through the grid-mode streaming decoder: the
         # whole stream in ONE pallas_call (one grid step per 64 KiB window).

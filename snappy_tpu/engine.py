@@ -346,10 +346,18 @@ def raw_uncompress_batch(
     from .ops import decode_scalar
 
     results: List[Optional[Tuple[Optional[bytes], str]]] = [None] * len(datas)
-    batch_small = []  # (result_index, body, declared): <= 64 KiB out
-    batch_big = []    # 64 KiB < out <= 128 KiB: big-window shapes
-    for i, data in enumerate(datas):
-        data = bytes(data)
+    datas_b: List[bytes] = [bytes(d) for d in datas]
+    # (result_index, seg_index, seg_body, seg_declared): every stream the
+    # chunk-shaped 512-lane slab serves — one-block streams directly, and
+    # larger streams split at their 64 KiB output-block boundaries by the
+    # native tag scan (stpu_raw_scan_blocks proves no op straddles a
+    # boundary; the per-chunk offset>written check proves no copy reaches
+    # across one — the same split the host block-parallel decoder uses).
+    chunk_jobs: List[Tuple[int, int, bytes, int]] = []
+    seg_plan = {}     # result_index -> number of segments
+    batch_big = []    # unsplittable, 64 KiB < out <= 128 KiB: big window
+    C_CAP = 4 * decode_scalar.C_WORDS
+    for i, data in enumerate(datas_b):
         declared64, _ = varint.decode_uint64(data)
         if declared64 is None or declared64 > C.MAX_UNCOMPRESSED_LEN:
             results[i] = (None, "invalid")
@@ -367,16 +375,31 @@ def raw_uncompress_batch(
             continue
         if not (_use_scalar_kernels() and len(body) > 0):
             results[i] = raw_uncompress(data, max_size, backend=bk)
-        elif (
-            declared <= 4 * decode_scalar.OUT_WORDS
-            and len(body) <= 4 * decode_scalar.C_WORDS
-        ):
+            continue
+        if declared <= 4 * decode_scalar.OUT_WORDS and len(body) <= C_CAP:
             # One-block streams ride the chunk-shaped kernel: same on-chip
             # rate as the big window (e37: 115.8 vs 115.0 MB/s on a mixed
             # 40-50 KB batch) but half the padded transfer per lane and a
             # 4x larger slab, which is what the tunnel-bound end-to-end
             # path pays for (round 5).
-            batch_small.append((i, body, int(declared)))
+            chunk_jobs.append((i, 0, body, int(declared)))
+            seg_plan[i] = 1
+            continue
+        offs = host_codec.scan_raw_blocks(body, int(declared))
+        segs = None
+        if offs is not None:
+            segs = []
+            for k in range(len(offs) - 1):
+                sb = body[offs[k] : offs[k + 1]]
+                dk = min(C.MAX_BLOCK_LEN, int(declared) - k * C.MAX_BLOCK_LEN)
+                if len(sb) > C_CAP or dk <= 0:
+                    segs = None  # pathological segment: not chunk-shaped
+                    break
+                segs.append((sb, dk))
+        if segs:
+            for k, (sb, dk) in enumerate(segs):
+                chunk_jobs.append((i, k, sb, dk))
+            seg_plan[i] = len(segs)
         elif (
             declared <= 4 * decode_scalar.RAW_OUT_WORDS
             and len(body) <= 4 * decode_scalar.RAW_C_WORDS
@@ -385,11 +408,12 @@ def raw_uncompress_batch(
         else:
             results[i] = raw_uncompress(data, max_size, backend=bk)
 
-    for lo in range(0, len(batch_small), 512):
-        sub = batch_small[lo : lo + 512]
+    seg_out = {}  # (result_index, seg_index) -> payload bytes or None
+    for lo in range(0, len(chunk_jobs), 512):
+        sub = chunk_jobs[lo : lo + 512]
         slab = _nb_slab(len(sub))
-        bodies = [b for _, b, _ in sub]
-        decls = [d for _, _, d in sub]
+        bodies = [b for _, _, b, _ in sub]
+        decls = [d for _, _, _, d in sub]
         while len(bodies) < slab:
             bodies.append(b"")
             decls.append(0)
@@ -399,11 +423,23 @@ def raw_uncompress_batch(
         )
         status = np.asarray(status)
         out_b = np.ascontiguousarray(np.asarray(out_words)).view(np.uint8)
-        for k, (i, _, declared) in enumerate(sub):
-            if status[k, 0, 0] and status[k, 0, 1] == declared:
-                results[i] = (out_b[k, 0, :declared].tobytes(), "ok")
+        for k, (i, seg, _, dk) in enumerate(sub):
+            if status[k, 0, 0] and status[k, 0, 1] == dk:
+                seg_out[(i, seg)] = out_b[k, 0, :dk].tobytes()
             else:
-                results[i] = (None, "invalid")
+                seg_out[(i, seg)] = None
+    for i, nseg in seg_plan.items():
+        parts = [seg_out[(i, k)] for k in range(nseg)]
+        if all(p is not None for p in parts):
+            results[i] = (b"".join(parts), "ok")  # type: ignore[arg-type]
+        elif nseg == 1:
+            results[i] = (None, "invalid")
+        else:
+            # A segment failed its in-chunk validation (e.g. a legal copy
+            # reaching across a block boundary — an encoder this split
+            # does not model).  The whole-stream decoder is authoritative
+            # for both bytes and the error verdict.
+            results[i] = raw_uncompress(datas_b[i], max_size, backend=bk)
 
     for lo in range(0, len(batch_big), 128):
         sub = batch_big[lo : lo + 128]

@@ -408,6 +408,32 @@ def _scan_blocks(src: np.ndarray, declared: int, in_offs: np.ndarray,
     )
 
 
+def scan_raw_blocks(body: bytes, declared: int) -> Optional[np.ndarray]:
+    """Locate the 64 KiB output-block boundaries of a raw tag stream.
+
+    Returns int64 ``in_offs`` with nseg+1 entries (in_offs[k] = body
+    offset of output byte k*65536, in_offs[nseg] = len(body)), or None
+    when the stream is malformed, not block-parallel-splittable (an op
+    straddles a boundary — stpu_raw_scan_blocks returns -2), or the
+    native library is unavailable.  Block-based encoders (ours, the
+    reference, google/snappy) always split this way; the device batch
+    path uses it to decode large raw streams as independent 64 KiB
+    chunks (the copy-reach half is proven by the per-chunk decoder's
+    offset>written check)."""
+    lib = get_lib()
+    if lib is None or declared <= 0:
+        return None
+    src = np.frombuffer(body, dtype=np.uint8)
+    cap = declared // C.MAX_BLOCK_LEN + 2
+    in_offs = np.empty((cap,), dtype=np.int64)
+    nseg = _scan_blocks(
+        src, declared, in_offs, cap, min(32, os.cpu_count() or 1)
+    )
+    if nseg < 1:
+        return None
+    return in_offs[: nseg + 1]
+
+
 def decode_raw_body_into(body: bytes, declared: int, out_arr: np.ndarray) -> bool:
     """Decode one raw tag stream into ``out_arr`` (block-parallel when the
     stream proves block-parallel-safe, else sequential).

@@ -189,6 +189,72 @@ class TestDecodeBatch:
         (out, reason), = engine.raw_uncompress_batch([enc], backend="device")
         assert reason == "ok" and out == payload
 
+    def test_multiblock_segment_split(self):
+        """>64 KiB streams split at output-block boundaries by the native
+        scan and decode as independent chunks (round-5); parity with
+        decode() across content classes, including the C++-produced
+        golden stream."""
+        import numpy as np
+
+        from snappy_tpu import engine
+        from snappy_tpu.testing import corpus
+
+        rng = np.random.default_rng(21)
+        payloads = [
+            (b"segmented " * 60000)[:300_000],
+            b"R" * 200_000,
+            bytes(rng.integers(0, 256, 150_000, np.uint8)),
+        ]
+        encs = [s.encode(p) for p in payloads]
+        if corpus.corpus_root() is not None:
+            gold = corpus.read_data(corpus.GOLDEN_RAWSNAPPY)
+            encs.append(gold)
+            payloads.append(s.decode(gold))
+        res = engine.raw_uncompress_batch(encs, backend="device")
+        assert [r[0] for r in res] == payloads
+        assert all(r[1] == "ok" for r in res)
+
+    def test_cross_boundary_copy_falls_back(self):
+        """A LEGAL stream whose copy reaches back across a 64 KiB output
+        boundary is tag-aligned (the scan splits it) but not block-
+        parallel: the failing segment must trigger the whole-stream
+        fallback, not a wrong verdict."""
+        from snappy_tpu import engine
+        from snappy_tpu.formats import varint
+
+        payload = bytes(range(256)) * 256          # exactly 64 KiB
+        raw = bytearray()
+        # one literal with 3-byte length extension covering the block
+        raw.append((59 + 2) << 2)
+        raw += (65536 - 1).to_bytes(2, "little")
+        raw += payload
+        # tagCopy2: 40 bytes from offset 60000 — crosses the boundary
+        raw.append(((40 - 1) << 2) | 2)
+        raw += (60000).to_bytes(2, "little")
+        expect = payload + payload[65536 - 60000 : 65536 - 60000 + 40]
+        enc = varint.encode_uint32(len(expect)) + bytes(raw)
+        assert s.decode(enc) == expect             # sanity: legal stream
+        (out, reason), = engine.raw_uncompress_batch(
+            [enc], backend="device")
+        assert reason == "ok" and out == expect
+
+    def test_straddling_tag_not_splittable(self):
+        """One literal spanning 100 KB: no tag boundary at 64 KiB, the
+        scan refuses (-2) and the stream rides the big-window lane."""
+        from snappy_tpu import engine
+        from snappy_tpu.formats import varint
+
+        payload = bytes(range(256)) * 400           # 102400 B
+        raw = bytearray()
+        raw.append((59 + 4) << 2)
+        raw += (len(payload) - 1).to_bytes(4, "little")
+        raw += payload
+        enc = varint.encode_uint32(len(payload)) + bytes(raw)
+        assert s.decode(enc) == payload
+        (out, reason), = engine.raw_uncompress_batch(
+            [enc], backend="device")
+        assert reason == "ok" and out == payload
+
     def test_max_size_guard(self):
         enc = s.encode(b"x" * 10_000)
         assert s.decode_batch([enc], max_size=9_999) == [b""]
