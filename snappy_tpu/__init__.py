@@ -10,7 +10,7 @@ compaction, and GF(2)-combined on-chip CRC32C.
 Public API surface (see api.py for the reference-parity table):
 
     encode / decode                      raw format, bytes in/out
-    decode_batch                         many raw streams, one dispatch
+    encode_batch / decode_batch          many raw streams, batched dispatch
     compress_into / uncompress_into      raw format, caller buffers, Result
     encode_framed / decode_framed        framed format, bytes in/out
     compress_framed_into                 framed, caller buffer, Result
@@ -26,6 +26,7 @@ from .api import (  # noqa: F401
     decode_batch,
     decode_framed,
     encode,
+    encode_batch,
     encode_framed,
     is_framed_stream,
     uncompress_framed_into,

@@ -110,11 +110,24 @@ def decode_batch(
     ``b""`` per failed stream (the :func:`decode` contract element-wise).
 
     A framework addition with no reference analog: on the device backend,
-    streams up to 128 KiB output decode in ONE batched kernel dispatch
-    (128-stream slabs) instead of paying the per-call dispatch tax each —
-    the serving-shaped entry point for many small payloads."""
+    streams of any size decode in batched kernel dispatches (512-lane
+    chunk slabs; large streams split at their 64 KiB output-block
+    boundaries by the native tag scan) instead of paying the per-call
+    dispatch tax each — the serving-shaped entry point."""
     res = engine.raw_uncompress_batch([bytes(d) for d in datas], max_size)
     return [out if out is not None else b"" for out, _ in res]
+
+
+def encode_batch(datas, level: int = 1) -> "list[bytes]":
+    """Compress many independent payloads at once; one ``b""`` per
+    oversized payload (the :func:`encode` contract element-wise, and
+    byte-identical to :func:`encode` per payload).
+
+    The encode twin of :func:`decode_batch`: on the device backend the
+    blocks of ALL payloads share 512-lane encoder slabs, so many small
+    payloads amortize the dispatch exactly like one large one."""
+    res = engine.raw_compress_batch([bytes(d) for d in datas], level=level)
+    return [enc if enc is not None else b"" for enc in res]
 
 
 def uncompress_into(data: bytes, out: Union[bytearray, memoryview]) -> Result[int]:

@@ -235,6 +235,73 @@ def raw_compress(
     return b"".join(parts)
 
 
+def raw_compress_batch(
+    datas: List[bytes], backend: Optional[str] = None, level: int = 1
+) -> List[Optional[bytes]]:
+    """Compress many independent payloads with ONE device dispatch per
+    512-block slab (the encode twin of :func:`raw_uncompress_batch` —
+    the serving shape; blocks of ALL payloads share the slabs, so many
+    small payloads amortize the dispatch exactly like one large one).
+
+    Returns one stream (or None for oversized input) per payload, each
+    byte-identical to :func:`raw_compress` of that payload alone (the
+    block split is per payload, so batching cannot change the bytes)."""
+    from . import config
+    from .ops import host_codec
+
+    bk = backend or config.resolve_backend()
+    if bk == "host" and host_codec.available():
+        return [host_codec.raw_compress(d, level) for d in datas]
+
+    datas_b = [bytes(d) for d in datas]
+    results: List[Optional[bytes]] = [None] * len(datas)
+    jobs: List[Tuple[int, int, np.ndarray, int]] = []  # (i, k, block, blen)
+    plan = {}  # i -> number of blocks
+    for i, data in enumerate(datas_b):
+        n = len(data)
+        if n > C.MAX_UNCOMPRESSED_LEN:
+            continue  # None: oversized (raw_compress contract)
+        if n == 0:
+            results[i] = varint.encode_uint32(0)
+            continue
+        arr = np.frombuffer(data, dtype=np.uint8)
+        blocks, blens = _split_blocks(arr)
+        for k in range(blocks.shape[0]):
+            jobs.append((i, k, blocks[k], int(blens[k])))
+        plan[i] = blocks.shape[0]
+
+    if not jobs:
+        return results
+    if not _use_scalar_kernels():
+        # XLA-fallback backends keep the per-payload path (its own shape
+        # bucketing); batching only pays on the scalar kernels.
+        for i in plan:
+            results[i] = raw_compress(datas_b[i], backend=bk, level=level)
+        return results
+
+    enc_out = {}
+    for lo in range(0, len(jobs), 512):
+        sub = jobs[lo : lo + 512]
+        slab = _nb_slab(len(sub))
+        fr = np.stack([b for _, _, b, _ in sub])
+        fl = np.array([ln for _, _, _, ln in sub], np.int32)
+        if slab != len(sub):
+            fr = np.vstack([fr, np.zeros((slab - len(sub), _BLOCK), np.uint8)])
+            fl = np.concatenate([fl, np.zeros((slab - len(sub),), np.int32)])
+        enc_w, elens = _encode_blocks_scalar(
+            jnp.asarray(fr), jnp.asarray(fl), slab, 2 if level >= 2 else 1
+        )
+        enc_b = np.ascontiguousarray(np.asarray(enc_w)).view(np.uint8)
+        elens = np.asarray(elens)
+        for j, (i, k, _, _) in enumerate(sub):
+            enc_out[(i, k)] = enc_b[j, 0, : int(elens[j])].tobytes()
+    for i, nb in plan.items():
+        results[i] = varint.encode_uint32(len(datas_b[i])) + b"".join(
+            enc_out[(i, k)] for k in range(nb)
+        )
+    return results
+
+
 def raw_uncompress(
     data: bytes,
     max_size: int = C.MAX_UNCOMPRESSED_LEN,
@@ -329,13 +396,15 @@ def raw_uncompress_batch(
     backend: Optional[str] = None,
 ) -> List[Tuple[Optional[bytes], str]]:
     """Decode many independent raw streams with ONE device dispatch per
-    slab of small streams (round-5 VERDICT item 5: back-to-back small
+    512-lane chunk slab (round-5 VERDICT item 5: back-to-back small
     decodes previously paid the full per-call dispatch tax each).
 
-    Streams that do not fit the big-window kernel (output > 128 KiB or
-    pathological expansion) fall back to :func:`raw_uncompress` each.
-    Returns one (payload|None, reason) pair per input, same contracts as
-    :func:`raw_uncompress`."""
+    Streams of ANY size ride the chunk slab: one-block streams directly,
+    larger ones split at their 64 KiB output-block boundaries by the
+    native tag scan (see the routing comment below).  Unsplittable
+    streams take the big-window kernel (<= 128 KiB) or fall back to
+    :func:`raw_uncompress`.  Returns one (payload|None, reason) pair per
+    input, same contracts as :func:`raw_uncompress`."""
     from . import config
     from .ops import host_codec
 

@@ -189,6 +189,37 @@ class TestDecodeBatch:
         (out, reason), = engine.raw_uncompress_batch([enc], backend="device")
         assert reason == "ok" and out == payload
 
+    def test_encode_batch_byte_identity(self):
+        """encode_batch must produce byte-identical streams to per-payload
+        encode on both backends (the block split is per payload), at both
+        levels, across sizes straddling the block boundary."""
+        import numpy as np
+
+        from snappy_tpu import engine
+
+        rng = np.random.default_rng(33)
+        payloads = [
+            b"",
+            b"x",
+            b"batchenc " * 300,
+            (b"multi block payload " * 9000)[:150_000],
+            bytes(rng.integers(0, 256, 70_000, np.uint8)),
+            b"Q" * 65536,
+        ]
+        for level in (1, 2):
+            batch = s.encode_batch(payloads, level=level)
+            assert batch == [s.encode(p, level=level) for p in payloads]
+            dev = engine.raw_compress_batch(
+                payloads, backend="device", level=level)
+            singles = [
+                engine.raw_compress(p, backend="device", level=level)
+                for p in payloads
+            ]
+            assert dev == singles
+        # every stream decodes back
+        for enc, p in zip(s.encode_batch(payloads), payloads):
+            assert s.decode(enc) == p
+
     def test_multiblock_segment_split(self):
         """>64 KiB streams split at output-block boundaries by the native
         scan and decode as independent chunks (round-5); parity with
