@@ -68,6 +68,10 @@ def _decode_chunks_scalar(meta, comp_words, nb: int):
     """Decode chunks on the scalar core + masked CRC32C of outputs (VPU)."""
     from .ops import decode_scalar
 
+    # trace-time guard: a slab/shape mismatch would index the grid past
+    # the operand and raise a device INTERNAL error (which can wedge the
+    # tunnel pool for ~20 min) instead of a Python error
+    assert meta.shape[0] == nb, (meta.shape, nb)
     out_words, status = decode_scalar.decode_chunks_words(meta, comp_words, nb)
     w = out_words[:, 0, : decode_scalar.OUT_WORDS]
     byts = jnp.stack(
@@ -85,6 +89,7 @@ def _decode_chunks_scalar(meta, comp_words, nb: int):
 def _decode_scalar_nocrc(meta, comp_words, nb: int):
     from .ops import decode_scalar
 
+    assert meta.shape[0] == nb, (meta.shape, nb)  # see _decode_chunks_scalar
     return decode_scalar.decode_chunks_words(meta, comp_words, nb)
 
 
@@ -93,6 +98,7 @@ def _encode_frames_scalar(frames_u8, flens, nb: int, level: int = 1):
     """Per-frame masked CRC32C (VPU) + scalar-core block encode."""
     from .ops import encode_scalar
 
+    assert frames_u8.shape[0] == nb, (frames_u8.shape, nb)
     frames_i32 = frames_u8.astype(jnp.int32)
     crcs = crc32c_jax.masked_crc32c_chunks(frames_i32, flens, _BLOCK)
     b = frames_i32.reshape(nb, -1, 4)
@@ -110,6 +116,7 @@ def _encode_blocks_scalar(frames_u8, flens, nb: int, level: int = 1):
     """Scalar-core block encode without CRC (raw format)."""
     from .ops import encode_scalar
 
+    assert frames_u8.shape[0] == nb, (frames_u8.shape, nb)
     frames_i32 = frames_u8.astype(jnp.int32)
     b = frames_i32.reshape(nb, -1, 4)
     words = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
