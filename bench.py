@@ -424,6 +424,27 @@ def bench_device(datasets):
         )
         dev["framed_decode_step_gbps"] = round(total / fr_t / 1e9, 4)
 
+        # Same step at the engine's full 512-chunk production slab (the
+        # shape large framed streams actually decode in): further dispatch
+        # amortization, ~+4% over 128 (round-5 probe).  This is the
+        # headline metric value; the 128-chunk rows above stay for
+        # cross-round comparison.
+        bodies512 = (bodies * ((512 // len(bodies)) + 1))[:512]
+        decls512 = (decls * ((512 // len(decls)) + 1))[:512]
+        m5, c5 = decode_scalar.pack_chunks(bodies512, decls512)
+        dm5, dc5 = jax.device_put(m5), jax.device_put(c5)
+        fr5_t = pipelined_time(
+            lambda: engine._decode_chunks_scalar(dm5, dc5, 512),
+            samples=3,
+        )
+        total512 = sum(decls512)
+        log(
+            f"device framed decode step (production 512-chunk slab, "
+            f"{total512/1e6:.1f} MB): {1e3*fr5_t:.1f} ms "
+            f"({total512/fr5_t/1e6:.1f} MB/s)"
+        )
+        dev["framed_decode_step_512_gbps"] = round(total512 / fr5_t / 1e9, 4)
+
         # On-chip batch-size scaling (BASELINE configs 4-5 analog, the form
         # one chip allows): chunk-count sweep at the engine's slab shapes.
         scaling_pts = {}
@@ -845,7 +866,10 @@ def main():
     # mixed corpus batch — the TPU-first number (round-5 VERDICT item 2;
     # earlier rounds published the host runtime here, which misrepresented
     # a TPU-first framework).  Host and per-class device numbers ride along.
-    headline = dev.get("framed_decode_step_gbps")
+    # prefer the production 512-chunk slab step when measured
+    headline = dev.get("framed_decode_step_512_gbps") or dev.get(
+        "framed_decode_step_gbps"
+    )
     if headline is not None:
         metric = "device_framed_decode_step"
         value = headline
