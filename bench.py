@@ -448,7 +448,8 @@ def bench_device(datasets):
         # On-chip batch-size scaling (BASELINE configs 4-5 analog, the form
         # one chip allows): chunk-count sweep at the engine's slab shapes.
         scaling_pts = {}
-        for nb_eff, slab in ((1, 8), (8, 8), (32, 32), (128, 128)):
+        for nb_eff, slab in ((1, 8), (8, 8), (32, 32), (128, 128),
+                             (512, 512)):
             bb = (bodies * ((nb_eff // len(bodies)) + 1))[:nb_eff]
             dd = (decls * ((nb_eff // len(decls)) + 1))[:nb_eff]
             bb = bb + [b""] * (slab - nb_eff)
