@@ -90,6 +90,26 @@ def main():
     assert reason == "ok" and out == blob, reason
     print("grid streaming kernel warm + byte-exact (%.0fs)" % (time.time() - t0))
 
+    # round-5 production shapes, via the public engine paths:
+    # framed device decode of a >32 MiB stream hits the 512-chunk slab
+    # (CRC-fused _decode_chunks_scalar) + the native header scan
+    big_framed = engine.framed_compress(blob * 4, backend="host") or b""
+    outf, reason = engine.framed_uncompress(big_framed, backend="device")
+    assert reason == "ok" and outf == blob * 4, reason
+    print("framed 512-slab pipeline warm + byte-exact (%.0fs)"
+          % (time.time() - t0))
+    # decode_batch: segment split + chunk slabs + big-window batch lanes
+    res = engine.raw_uncompress_batch(
+        [enc_stream] * 10, backend="device")
+    assert all(r[1] == "ok" for r in res)
+    print("decode_batch slabs warm (%.0fs)" % (time.time() - t0))
+    # encode_batch slabs at both levels
+    for lvl in (1, 2):
+        encb = engine.raw_compress_batch(blocks[:32], backend="device",
+                                         level=lvl)
+        assert s.decode(encb[0]) == blocks[0]
+    print("encode_batch slabs warm, levels 1+2 (%.0fs)" % (time.time() - t0))
+
     # CRC kernels (bench shape: 256 x 64 KiB)
     n_crc = 256
     chunks = np.zeros((n_crc, 65536), dtype=np.int32)
