@@ -281,6 +281,11 @@ class TestEncoderByteIdentityAcrossBackends:
 
     def test_host_equals_device_streams(self, monkeypatch):
         monkeypatch.setenv("SNAPPY_TPU_SCALAR_INTERPRET", "1")
+        # byte-identity holds for the SCALAR device kernel by contract;
+        # pin it so an outer SNAPPY_TPU_DEVICE_KERNEL=xla pass (whose
+        # matcher legitimately differs) doesn't turn this into a false
+        # failure
+        monkeypatch.setenv("SNAPPY_TPU_DEVICE_KERNEL", "scalar")
         rng = np.random.default_rng(21)
         word = rng.integers(0, 256, 23, dtype=np.uint8).tobytes()
         payloads = [
