@@ -83,6 +83,10 @@ class TestShardedScalarKernels:
     @pytest.fixture()
     def scalar_mode(self, monkeypatch):
         monkeypatch.setenv("SNAPPY_TPU_SCALAR_INTERPRET", "1")
+        # pin the scalar kernel so an outer SNAPPY_TPU_DEVICE_KERNEL=xla
+        # pass doesn't error this fixture (these tests ARE the scalar-leg
+        # coverage)
+        monkeypatch.setenv("SNAPPY_TPU_DEVICE_KERNEL", "scalar")
         assert engine._use_scalar_kernels()
 
     def test_scalar_steps_dispatched_and_identical(self, mesh8, scalar_mode):
