@@ -13,6 +13,8 @@ reference (Nim)        here                                     	returns
 ``compressFramed``     ``compress_framed_into(data, out)``      	Result[int]
 ``decodeFramed``       ``decode_framed(data, max_size, ...)``   	bytes (empty on failure)
 ``uncompressFramed``   ``uncompress_framed_into(data, out, ...)``	Result[(read, written)] — resumable
+(no analog)            ``encode_batch(datas, level)``           	list[bytes] — batched device slabs
+(no analog)            ``decode_batch(datas, max_size)``        	list[bytes] — any stream size
 =====================  =========================================	==========
 
 Error-model parity: the ``*_into`` functions are exception-free and return
