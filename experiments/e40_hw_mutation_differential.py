@@ -9,7 +9,8 @@ sys.path.insert(0, '/root/repo')
 import snappy_tpu as s
 from snappy_tpu import engine
 
-rng = random.Random(20260820)
+import os
+rng = random.Random(int(os.environ.get('SEED', '20260820')))
 
 def payload(n):
     word = bytes(rng.randrange(256) for _ in range(rng.randrange(2, 17)))

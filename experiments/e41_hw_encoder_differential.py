@@ -8,7 +8,8 @@ sys.path.insert(0, '/root/repo')
 import snappy_tpu as s
 from snappy_tpu import engine
 
-rng = random.Random(40826)
+import os
+rng = random.Random(int(os.environ.get('SEED', '40826')))
 
 def payload(n):
     r = rng.random()

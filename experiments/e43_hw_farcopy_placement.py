@@ -10,7 +10,8 @@ from snappy_tpu import engine
 from snappy_tpu.formats import varint
 from snappy_tpu.testing import oracle
 
-rng = random.Random(777002)
+import os
+rng = random.Random(int(os.environ.get('SEED', '777002')))
 
 def build_stream():
     out = bytearray()
