@@ -180,3 +180,58 @@ def test_periodic_run_decode_on_chip(tpu):
         enc = engine.raw_compress(payload, backend="host")
         out, reason = engine.raw_uncompress(enc, backend="device")
         assert reason == "ok" and out == payload, f"period {period}"
+
+
+def test_farcopy_placement_battery_on_chip(tpu):
+    """Six random window-straddling far-copy streams (fixed seed, the
+    e43 generator shape): grid far service + pending resume on the
+    compiled kernel.  The full 50-stream battery lives in
+    experiments/e43_hw_farcopy_placement.py."""
+    import random
+
+    from snappy_tpu import engine
+    from snappy_tpu.formats import varint
+    from snappy_tpu.testing import oracle
+
+    rng = random.Random(424242)
+    for _ in range(6):
+        out = bytearray()
+        body = bytearray()
+
+        def lit(data):
+            n = len(data)
+            if n - 1 < 60:
+                body.append((n - 1) << 2)
+            else:
+                ext = ((n - 1).bit_length() + 7) // 8
+                body.append((59 + ext) << 2)
+                body.extend((n - 1).to_bytes(ext, "little"))
+            body.extend(data)
+            out.extend(data)
+
+        def copy(off, ln):
+            while ln >= 4:
+                c = min(ln, 64)
+                body.append(((c - 1) << 2) | 3)
+                body.extend(off.to_bytes(4, "little"))
+                start = len(out) - off
+                for i in range(c):
+                    out.append(out[start + i])
+                ln -= c
+
+        lit(bytes(rng.getrandbits(8) for _ in range(rng.randrange(90_000, 140_000))))
+        for _ in range(rng.randrange(30, 80)):
+            if rng.random() < 0.5:
+                copy(rng.randrange(65_537, len(out)), rng.randrange(4, 300))
+            else:
+                lit(bytes(rng.getrandbits(8)
+                          for _ in range(rng.randrange(1, 3000))))
+            if rng.random() < 0.3:
+                to_b = (-len(out)) % 65536
+                if 0 < to_b < 2000:
+                    lit(b"\x55" * to_b)
+        enc = varint.encode_uint32(len(out)) + bytes(body)
+        ref, err = oracle.uncompress(enc)
+        assert err is None and ref == bytes(out)
+        dev, reason = engine.raw_uncompress(enc, backend="device")
+        assert reason == "ok" and dev == bytes(out)
