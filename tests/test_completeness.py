@@ -99,6 +99,29 @@ class TestCli:
         assert r.returncode == 0, r.stderr.decode()
         assert (tmp_path / "out.bin").read_bytes() == data
 
+    def test_cli_decodes_external_sz(self, tmp_path):
+        """The snzip-compat claim (cli.py docstring): a framed .sz stream
+        produced by external snappy tooling (the reference corpus's
+        pre-compressed streams) must decode via the CLI."""
+        from snappy_tpu.testing import corpus
+
+        if corpus.corpus_root() is None:
+            pytest.skip("reference corpus not available")
+        sz = tmp_path / "alice.sz"
+        sz.write_bytes(corpus.read_stream("alice29.txt.sz-64k"))
+        env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+               "HOME": str(tmp_path)}
+        r = subprocess.run(
+            [sys.executable, "-m", "snappy_tpu.cli", "-d", str(sz),
+             "-o", str(tmp_path / "alice.txt")],
+            capture_output=True,
+            cwd="/root/repo",
+            env=env,
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        assert (tmp_path / "alice.txt").read_bytes() == corpus.read_data(
+            "alice29.txt")
+
     def test_cli_rejects_malformed(self, tmp_path):
         bad = tmp_path / "bad.sz"
         bad.write_bytes(C.FRAMING_HEADER + b"\x00\x10\x00\x00garbage!")
