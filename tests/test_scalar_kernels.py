@@ -421,6 +421,23 @@ class TestStreamingRawDecoder:
         # 100 KB random: compressed > the 76.8 KB comp window -> refill.
         self._roundtrip(bytes(random.Random(9).randbytes(100_000)))
 
+    def test_single_giant_literal_tag(self):
+        # ONE literal tag spanning multiple comp slices AND output
+        # windows (adversarial-legal: no encoder emits it, every decoder
+        # must take it): repeated pending-literal splits + resumes.
+        # The 20 MB variant runs on hardware (round-5 session 2).
+        from snappy_tpu.ops import decode_stream
+
+        payload = bytes(random.Random(31).randbytes(400_000))
+        body = bytearray()
+        body.append((59 + 4) << 2)
+        body += (len(payload) - 1).to_bytes(4, "little")
+        body += payload
+        out, reason = decode_stream.decode_raw_stream_bytes(
+            bytes(body), len(payload), interpret=True, mode="grid"
+        )
+        assert reason == "ok" and out == payload
+
     def test_window_boundaries(self):
         for n in (65535, 65536, 65537, 131072):
             self._roundtrip(b"q" * n)
