@@ -16,7 +16,9 @@ Public API surface (see api.py for the reference-parity table):
     compress_framed_into                 framed, caller buffer, Result
     uncompress_framed_into               resumable framed decode, Result
     uncompressed_len[_framed]            stream sizing
+    max_compressed_len[_framed]          worst-case output sizing
     is_framed_stream                     magic sniff
+    masked_crc32c                        masked CRC32C (backend-routed)
 """
 
 from .api import (  # noqa: F401
@@ -34,6 +36,11 @@ from .api import (  # noqa: F401
     uncompressed_len,
     uncompressed_len_framed,
 )
+from .engine import masked_crc32c  # noqa: F401
+from .formats.constants import (  # noqa: F401
+    max_compressed_len,
+    max_compressed_len_framed,
+)
 from .formats.errors import (  # noqa: F401
     CodecError,
     Err,
@@ -47,4 +54,5 @@ from .formats.errors import (  # noqa: F401
     UnexpectedEofError,
 )
 
-__version__ = "0.1.0"
+# Kept in sync with pyproject.toml (pinned by tests/test_api.py).
+__version__ = "0.6.0"

@@ -18,6 +18,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="snappy_tpu", description="TPU-native snappy codec"
     )
+    from . import __version__
+
+    p.add_argument("--version", action="version", version=f"%(prog)s {__version__}")
     p.add_argument("-d", "--decompress", action="store_true")
     p.add_argument(
         "--raw", action="store_true", help="use the raw block format (no framing)"

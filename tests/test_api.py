@@ -293,3 +293,30 @@ class TestDecodeBatch:
 
     def test_empty_batch(self):
         assert s.decode_batch([]) == []
+
+
+class TestPackageSurface:
+    """Top-level export parity with the reference's public symbols."""
+
+    def test_version_matches_pyproject(self):
+        import pathlib
+        import re
+
+        text = (pathlib.Path(s.__file__).parents[1] / "pyproject.toml").read_text()
+        ver = re.search(r'^version = "([^"]+)"', text, re.M).group(1)
+        assert s.__version__ == ver
+
+    def test_length_math_exported(self):
+        # codec.nim exports maxCompressedLen / maxCompressedLenFramed at L1.
+        assert s.max_compressed_len(65536) == C.max_compressed_len(65536)
+        assert s.max_compressed_len(C.MAX_UNCOMPRESSED_LEN + 1) == 0
+        assert s.max_compressed_len_framed(0) == len(C.FRAMING_HEADER)
+        assert len(s.encode(b"z" * 100_000)) <= s.max_compressed_len(100_000)
+
+    def test_masked_crc32c_exported(self):
+        # maskedCrc is public at codec.nim:71-75; parity with the native
+        # wrapper (the backend-routed engine entry must agree with it).
+        from snappy_tpu.ops import crc32c_native
+
+        for payload in (b"", b"a", b"snappy" * 1000, bytes(range(256))):
+            assert s.masked_crc32c(payload) == crc32c_native.masked_crc32c(payload)
